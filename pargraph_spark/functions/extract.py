@@ -1,0 +1,79 @@
+"""Deterministic, dependency-free HTML text + outlink extraction.
+
+This is THE byte-identical invariant of the engine: one pure function,
+stdlib-only, shared verbatim by the Spark Arrow UDF
+(pargraph_spark.operators.extract_links) and the pytest oracle, so the
+extracted text per url is byte-identical by construction.
+
+The reference does its parsing/I/O inside opaque task nodes (e.g.
+/root/reference/examples/taxi.py:15 reads parquet inside a @delayed node);
+we hoist extraction into a first-class vectorized operator with a pinned,
+deterministic implementation instead.
+
+Determinism policy:
+- bytes -> str is always UTF-8 with errors="replace" (explicit, pinned).
+- entity decoding via html.parser's convert_charrefs (stdlib, stable).
+- whitespace normalization: str.split()/" ".join (locale-independent).
+- no third-party parser (lxml/bs4 version drift would break byte-equality).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Elements whose text content is never document text.
+_SKIP_CONTENT = frozenset({"script", "style", "noscript", "template", "head"})
+# Void elements never pushed on the skip stack (they cannot nest content).
+_VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"}
+)
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._chunks: list[str] = []
+        self._links: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _SKIP_CONTENT and tag not in _VOID:
+            self._skip_depth += 1
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._links.append(value)
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data:
+            self._chunks.append(data)
+
+
+def extract_text_and_links(html: bytes | str | None) -> tuple[str, list[str]]:
+    """Extract (normalized_text, raw_hrefs_in_document_order) from HTML.
+
+    Text normalization: concatenate text nodes (outside script/style/head),
+    collapse all whitespace runs to single spaces, strip. Raw hrefs are
+    returned unresolved — URL resolution is urlnorm's job.
+    """
+    if html is None:
+        return "", []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # Malformed-beyond-repair input: keep whatever was parsed so far.
+        pass
+    # Policy: text nodes join with a single space, then whitespace-collapse.
+    # Head/script/style content is never text (titles are metadata).
+    text = " ".join(" ".join(parser._chunks).split())
+    return text, parser._links

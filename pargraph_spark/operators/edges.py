@@ -1,0 +1,101 @@
+"""O4 — edge table + vertex dictionary construction (SURVEY.md §2.3).
+
+Distributed analogue of the reference's bidict key↔dense-id encoding +
+sparse boolean adjacency (/root/reference/pargraph/utility/
+graphlib_graphblas.py:20-59): vertex ids are xxhash64(url) — stable,
+computable without a global barrier (no zipWithIndex), identical across
+partition counts and resumes — and the adjacency is a distinct, hash-
+partitioned ``edges(src: long, dst: long)`` DataFrame.
+
+Scale notes:
+- ids via hash, not sequence: a 10^12-row zipWithIndex is a full-pass barrier
+  and breaks determinism across partition counts; xxhash64 is per-row.
+- collision check is a cheap two-count aggregate; at |V| = 10^12 the expected
+  number of 64-bit collisions is ~|V|²/2^65 ≈ 27 — at that scale switch the
+  id to struct(xxhash64, length) or 128-bit via two seeds; the check makes
+  the assumption observable.
+- edges are repartitioned by src ONCE and cached/persisted; every iterative
+  algorithm re-reads the same co-partitioned table instead of reshuffling E
+  rows per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edge_urls(extracted: DataFrame) -> DataFrame:
+    """Explode outlinks → (src_url, dst_url), self-loops dropped."""
+    return (
+        extracted.select(F.col("url").alias("src_url"), F.explode("links").alias("dst_url"))
+        .where(F.col("src_url") != F.col("dst_url"))
+    )
+
+
+def build_vertices(extracted: DataFrame, edges_u: DataFrame | None = None) -> DataFrame:
+    """vertices(id: long, url: string) over crawled urls ∪ link targets.
+
+    Link targets outside the crawl (dangling targets) ARE vertices — they
+    receive rank mass and contribute dangling mass, exactly like uncrawled
+    urls in a real web graph.
+    """
+    edges_u = edges_u if edges_u is not None else edge_urls(extracted)
+    urls = (
+        extracted.select(F.col("url"))
+        .unionByName(edges_u.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    return urls.select(F.xxhash64("url").alias("id"), "url")
+
+
+def assert_no_id_collisions(vertices: DataFrame) -> None:
+    row = vertices.agg(
+        F.countDistinct("id").alias("ids"), F.count("*").alias("urls")
+    ).first()
+    if row["ids"] != row["urls"]:
+        raise ValueError(
+            f"xxhash64 vertex-id collision: {row['urls']} urls -> {row['ids']} ids; "
+            "switch to a 128-bit id (two-seed xxhash64 struct) for this corpus"
+        )
+
+
+def build_edges(extracted: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Distinct (src, dst) hash-partitioned by src.
+
+    No dictionary join needed: ids are content hashes, so both endpoints are
+    computed inline from urls (saves two E-row joins at build time).
+    """
+    e = edge_urls(extracted).select(
+        F.xxhash64("src_url").alias("src"), F.xxhash64("dst_url").alias("dst")
+    )
+    e = e.dropDuplicates(["src", "dst"])
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    return e
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg"))
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: (u,v) ∪ (v,u), distinct, self-loops dropped."""
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    return fwd.unionByName(rev).where(F.col("u") != F.col("v")).distinct()
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Each undirected edge once as (a < b)."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )

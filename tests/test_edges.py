@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pargraph_spark.functions.extract import extract_text_and_links
+from pargraph_spark.functions.urlnorm import normalize_url
+from pargraph_spark.operators.edges import (
+    assert_no_id_collisions,
+    build_edges,
+    build_vertices,
+    canonical_undirected,
+    in_degrees,
+    out_degrees,
+    symmetrize,
+)
+from pargraph_spark.operators.extract_links import extract_links
+from pargraph_spark.sources.pages import latest_pages
+from pargraph_spark.synth import generate_pages_rows, pages_df_local
+
+N = 400
+
+
+def _oracle_pages(n=N, seed=42):
+    """Driver-side oracle: latest crawl per url -> extracted text + links."""
+    latest: dict[str, tuple] = {}
+    for r in generate_pages_rows(n, seed):
+        cur = latest.get(r["url"])
+        if cur is None or r["warc_ts"] > cur[0]:
+            latest[r["url"]] = (r["warc_ts"], r["html"])
+    out = {}
+    for url, (_, html) in latest.items():
+        text, raw = extract_text_and_links(html)
+        links = [u for u in (normalize_url(h, url) for h in raw) if u is not None]
+        out[url] = (text, links)
+    return out
+
+
+def test_latest_pages_dedupe(spark):
+    pages = pages_df_local(spark, N)
+    lp = latest_pages(pages)
+    assert lp.count() == N
+    # the kept row must be the max-warc_ts one
+    expected = _oracle_pages()
+    got = {r["url"]: r["warc_ts"] for r in lp.select("url", "warc_ts").collect()}
+    oracle_ts = {}
+    for r in generate_pages_rows(N, 42):
+        if r["url"] not in oracle_ts or r["warc_ts"] > oracle_ts[r["url"]]:
+            oracle_ts[r["url"]] = r["warc_ts"]
+    assert got == oracle_ts
+    assert set(got) == set(expected)
+
+
+def test_extracted_text_byte_identical(spark):
+    """BASELINE.json input_hint invariant: Spark-extracted text per url is
+    byte-identical to the shared pure-Python extractor."""
+    pages = pages_df_local(spark, N)
+    ext = extract_links(latest_pages(pages))
+    oracle = _oracle_pages()
+    for row in ext.collect():
+        otext, olinks = oracle[row["url"]]
+        assert row["text"] == otext, row["url"]
+        assert list(row["links"]) == olinks, row["url"]
+
+
+def test_edge_table_matches_oracle(spark):
+    pages = pages_df_local(spark, N)
+    ext = extract_links(latest_pages(pages)).cache()
+    edges = build_edges(ext, num_partitions=8)
+    vertices = build_vertices(ext)
+    assert_no_id_collisions(vertices)
+
+    oracle = _oracle_pages()
+    url_ids = {
+        r["url"]: r["id"] for r in vertices.collect()
+    }
+    oracle_edges = set()
+    for url, (_, links) in oracle.items():
+        for dst in links:
+            if dst != url:
+                oracle_edges.add((url_ids[url], url_ids[dst]))
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == oracle_edges
+    # dangling targets (never-crawled urls) must be vertices
+    crawled = {url_ids[u] for u in oracle}
+    targets = {d for _, d in oracle_edges}
+    assert targets - crawled, "fixture should contain dangling targets"
+    assert set(url_ids.values()) >= targets
+
+
+def test_degrees_and_views(spark):
+    pages = pages_df_local(spark, 150)
+    ext = extract_links(latest_pages(pages))
+    edges = build_edges(ext).cache()
+    e = {(r["src"], r["dst"]) for r in edges.collect()}
+    od = {r["id"]: r["outdeg"] for r in out_degrees(edges).collect()}
+    id_ = {r["id"]: r["indeg"] for r in in_degrees(edges).collect()}
+    from collections import Counter
+
+    assert od == Counter(s for s, _ in e)
+    assert id_ == Counter(d for _, d in e)
+    sym = {(r["u"], r["v"]) for r in symmetrize(edges).collect()}
+    assert sym == {(a, b) for a, b in e} | {(b, a) for a, b in e}
+    und = {(r["a"], r["b"]) for r in canonical_undirected(edges).collect()}
+    assert und == {(min(a, b), max(a, b)) for a, b in e}

@@ -1,0 +1,197 @@
+"""O6 — iterative PageRank with dangling-mass redistribution (SURVEY.md §2.3).
+
+Two physical strategies behind one API:
+
+- mode="dataframe": the pure-Catalyst plan — ranks ⋈ edges on src, then
+  groupBy(dst).sum. Whole-stage-codegen JVM end to end; partial (map-side)
+  aggregation absorbs hub-dst skew in the sum. The simple, always-correct
+  baseline.
+
+- mode="csr": the scale path mandated by BASELINE.json north_star — edges
+  packed ONCE into per-partition CSR blocks (operators/csr.py), each
+  superstep cogroups the rank vector with its block by pid and runs a
+  partition-local numpy SpMV in an Arrow UDF, emitting messages pre-combined
+  per block; a hash-shuffle sum keyed by dst finishes the superstep. Per
+  iteration only V rank rows + combined messages shuffle; the E-row edge
+  table never moves again. This is the distributed re-expression of the
+  reference's GraphBLAS semiring SpMV frontier kernel
+  (/root/reference/pargraph/utility/graphlib_graphblas.py:156-167).
+
+Semantics (shared with tests/oracles.py::pagerank_oracle):
+    r_0(v)     = 1/N
+    r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u) + dang_t/N )
+    dang_t     = Σ_{outdeg(u)=0} r_t(u)
+    stop when L∞(r_{t+1}-r_t) < tol   (scores allclose 1e-6 vs oracle)
+
+Driver-side loop notes (the Spark analogue of the reference's scheduling
+loop, engine.py:42-129, which Catalyst replaces per-superstep):
+- localCheckpoint(eager) each superstep truncates lineage — without it plans
+  deepen unboundedly (the analogue of pargraph's ref-count release,
+  engine.py:63-76).
+- exactly 2 jobs per superstep: materialize new ranks, then one combined
+  aggregate producing (delta of this step, dangling mass for the next).
+- checkpoint_every supersteps → parquet + manifest (plans/checkpoint.py);
+  resume picks up from the newest committed manifest.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.operators.csr import build_csr_blocks, spmv_messages, with_pid
+from pargraph_spark.plans.checkpoint import CheckpointManager
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+
+MSG_SCHEMA = "dst long, msg double"
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: long, rank: double)
+    iterations: int
+    converged: bool
+    metrics: JobMetrics
+    deltas: list[float] = field(default_factory=list)
+
+
+def _vertex_base(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """(id, outdeg) for every vertex; outdeg=0 for dangling."""
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        vertices = vertices.select("id")
+    od = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    return vertices.join(od, "id", "left").select(
+        "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 100,
+    mode: str = "dataframe",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> PageRankResult:
+    if mode not in ("dataframe", "csr"):
+        raise ValueError(f"unknown mode {mode!r}")
+    P = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    P = int(P)
+
+    edges = edges.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    edges = edges.repartition(P, "src").persist()
+    n_edges = edges.count()
+
+    base = _vertex_base(edges, vertices).repartition(P, "id").persist()
+    n = base.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return PageRankResult(empty, 0, True, JobMetrics("pagerank"))
+
+    blocks = None
+    if mode == "csr":
+        blocks = build_csr_blocks(edges, P).persist()
+        blocks.count()  # build once, reuse every superstep
+
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+    start_iter = 0
+    ranks = None
+    if ckpt and resume:
+        m = ckpt.latest()
+        if m is not None:
+            ranks = ckpt.load(spark, m["superstep"]).repartition(P, "id")
+            start_iter = int(m["superstep"])
+            dang = float(m["dangling_mass"])
+    if ranks is None:
+        ranks = base.withColumn("rank", F.lit(1.0 / n))
+        dang = float(
+            ranks.agg(F.coalesce(F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0))).first()[0]
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+
+    metrics = JobMetrics(f"pagerank[{mode}]")
+    deltas: list[float] = []
+    converged = False
+    it = start_iter
+
+    def _spmv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return spmv_messages([left], [right])
+
+    while it < max_iter:
+        it += 1
+        t0 = time.monotonic()
+        if mode == "dataframe":
+            msgs = (
+                edges.join(
+                    ranks.where(F.col("outdeg") > 0).select(
+                        F.col("id"), (F.col("rank") / F.col("outdeg")).alias("w")
+                    ),
+                    edges["src"] == F.col("id"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("w").alias("msg"))
+            )
+        else:
+            rank_g = with_pid(ranks.select("id", "rank"), "id", P)
+            msgs = (
+                rank_g.groupBy("pid")
+                .cogroup(blocks.groupBy("pid"))
+                .applyInPandas(_spmv, schema=MSG_SCHEMA)
+                .groupBy("dst")
+                .agg(F.sum("msg").alias("msg"))
+            )
+        new_ranks = (
+            ranks.join(msgs, ranks["id"] == msgs["dst"], "left")
+            .select(
+                ranks["id"],
+                ranks["outdeg"],
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+                ranks["rank"].alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = new_ranks.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("dang"),
+        ).first()
+        delta, dang = float(stats["delta"]), float(stats["dang"])
+        old = ranks
+        ranks = new_ranks.drop("_prev")
+        old.unpersist()
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        metrics.add(SuperstepMetric(it, wall_ms, n_edges, delta))
+        deltas.append(delta)
+        if ckpt and (it % checkpoint_every == 0):
+            ckpt.save(ranks, it, {"dangling_mass": dang, "delta": delta,
+                                  "damping": damping, "n_vertices": n, "n_edges": n_edges})
+        if delta < tol:
+            converged = True
+            break
+
+    if ckpt and converged:
+        ckpt.save(ranks, it, {"dangling_mass": dang, "delta": deltas[-1] if deltas else 0.0,
+                              "damping": damping, "n_vertices": n, "n_edges": n_edges,
+                              "converged": True})
+    result = ranks.select("id", "rank")
+    return PageRankResult(result, it, converged, metrics, deltas)

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pargraph_spark.operators.edges import build_edges
+from pargraph_spark.operators.extract_links import extract_links
+from pargraph_spark.operators.pagerank import pagerank
+from pargraph_spark.sources.pages import latest_pages
+from pargraph_spark.synth import pages_df_local
+
+from .oracles import pagerank_oracle
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _run(spark, edges, vertices=None, mode="dataframe", **kw):
+    vdf = (
+        spark.createDataFrame([(v,) for v in vertices], "id long")
+        if vertices is not None
+        else None
+    )
+    edf = spark.createDataFrame(edges, EDGE_SCHEMA)
+    res = pagerank(spark, edf, vdf, mode=mode, num_partitions=4, **kw)
+    return {r["id"]: r["rank"] for r in res.ranks.collect()}, res
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_ring_uniform(spark, mode):
+    n = 10
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got, res = _run(spark, edges, mode=mode)
+    assert res.converged
+    for v, r in got.items():
+        assert math.isclose(r, 1.0 / n, abs_tol=1e-9), (v, r)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_star_matches_oracle(spark, mode):
+    n = 11
+    edges = [(i, 0) for i in range(1, n)]  # spokes -> hub; hub is dangling
+    got, res = _run(spark, edges, mode=mode)
+    oracle = pagerank_oracle(edges, list(range(n)))
+    for v in range(n):
+        assert math.isclose(got[v], oracle[v], abs_tol=1e-6), v
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_synth_graph_matches_oracle(spark, mode):
+    pages = pages_df_local(spark, 300)
+    ext = extract_links(latest_pages(pages))
+    edf = build_edges(ext).cache()
+    edges = [(r["src"], r["dst"]) for r in edf.collect()]
+    vertices = sorted({v for e in edges for v in e})
+    res = pagerank(spark, edf, mode=mode, num_partitions=4, tol=1e-9)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    oracle = pagerank_oracle(edges, vertices, tol=1e-12)
+    assert set(got) == set(oracle)
+    for v in vertices:
+        assert math.isclose(got[v], oracle[v], abs_tol=1e-6), v
+    assert res.converged
+    assert res.metrics.supersteps[0].edges == len(edges)
+
+
+def test_modes_agree(spark):
+    pages = pages_df_local(spark, 150)
+    ext = extract_links(latest_pages(pages))
+    edf = build_edges(ext).cache()
+    r1 = pagerank(spark, edf, mode="dataframe", num_partitions=4, tol=1e-8)
+    r2 = pagerank(spark, edf, mode="csr", num_partitions=4, tol=1e-8)
+    g1 = {r["id"]: r["rank"] for r in r1.ranks.collect()}
+    g2 = {r["id"]: r["rank"] for r in r2.ranks.collect()}
+    assert set(g1) == set(g2)
+    for v in g1:
+        assert math.isclose(g1[v], g2[v], abs_tol=1e-9), v
+
+
+def test_isolated_vertices_and_empty(spark):
+    # extra vertices with no edges still get teleport mass
+    edges = [(1, 2)]
+    got, res = _run(spark, edges, vertices=[1, 2, 3, 4])
+    oracle = pagerank_oracle(edges, [1, 2, 3, 4])
+    for v in oracle:
+        assert math.isclose(got[v], oracle[v], abs_tol=1e-9)
+    empty = pagerank(
+        spark, spark.createDataFrame([], EDGE_SCHEMA), num_partitions=2
+    )
+    assert empty.ranks.count() == 0 and empty.converged

@@ -1,0 +1,134 @@
+"""O7 — connected components via alternating small-star / large-star.
+
+Algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (SoCC'14) — converges in
+O(log n) rounds on any graph, each round a groupBy(min) + join, which is
+exactly the shuffle-friendly shape Spark wants (no O(diameter)
+min-propagation chains on long paths).
+
+    large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    small-star(u): over edges oriented (u > v): m = min(Γ≤(u));
+                   emit (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m
+
+Fixpoint: the edge set stabilizes as a forest of stars (child → component
+min). Detected by (count, checksum) equality of the canonical edge set —
+a 64-bit sum of xxhash64(u,v), collision odds ~2^-64 per round.
+
+Each round materializes via eager localCheckpoint (lineage truncation —
+the analogue of the reference's ref-count release,
+/root/reference/pargraph/engine/engine.py:63-76).
+
+Scale notes: both stars are a single self-shuffle on u; hub vertices
+(huge Γ(u)) are fine because min() partial-aggregates map-side, and the
+subsequent join is on the grouping key (AQE skew-join splits hot keys).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+
+
+@dataclass
+class ComponentsResult:
+    components: DataFrame  # (id: long, component: long) — component = min member id
+    rounds: int
+    converged: bool
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("components"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # orient every edge (bigger -> smaller)
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    via_neighbors = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    via_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        via_neighbors.unionByName(via_self)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> ComponentsResult:
+    """edges(src,dst) [+ optional vertices(id)] → (id, component)."""
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    all_vertices = (
+        vertices.select("id")
+        if vertices is not None
+        else edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    ).persist()
+
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .repartition(P, "u")
+        .localCheckpoint(eager=True)
+    )
+    metrics = JobMetrics("components")
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct().agg(
+            F.count("*").alias("c"),
+            # bit_xor: order-independent, overflow-free (ANSI mode) checksum;
+            # safe because the set is distinct (no pair cancellation)
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["c"]), int(row["h"])
+
+    converged = False
+    rounds = 0
+    sig = _signature(e)
+    n_edges0 = sig[0]
+    for rounds in range(1, max_rounds + 1):
+        t0 = time.monotonic()
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(new_e)
+        e.unpersist()
+        e = new_e
+        metrics.add(SuperstepMetric(rounds, (time.monotonic() - t0) * 1000.0,
+                                    n_edges0, float(abs(new_sig[0] - sig[0]))))
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+
+    # at fixpoint e is (child, parent=component-min); roots + isolated map to self
+    comp = (
+        all_vertices.join(e.select(F.col("u").alias("id"), F.col("v").alias("c")), "id", "left")
+        .select("id", F.coalesce("c", "id").alias("component"))
+    )
+    return ComponentsResult(comp, rounds, converged, metrics)

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pargraph_spark.operators.edges import build_edges
+from pargraph_spark.operators.extract_links import extract_links
+from pargraph_spark.operators.triangles import triangle_count
+from pargraph_spark.sources.pages import latest_pages
+from pargraph_spark.synth import pages_df_local
+
+from .oracles import triangles_oracle
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def test_cliques_closed_form(spark):
+    # 3 disjoint 5-cliques: 3 * C(5,3) = 30 triangles, 6 per vertex
+    edges = []
+    for k in range(3):
+        base = k * 100
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    res = triangle_count(spark, spark.createDataFrame(edges, EDGE_SCHEMA))
+    assert res.total == 30
+    per = {r["id"]: r["tri"] for r in res.per_vertex.collect()}
+    assert all(v == 6 for v in per.values()) and len(per) == 15
+
+
+def test_direction_and_dup_insensitive(spark):
+    # triangle given with mixed directions + duplicates + self-loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3), (4, 1)]
+    res = triangle_count(spark, spark.createDataFrame(edges, EDGE_SCHEMA))
+    assert res.total == 1
+    per = {r["id"]: r["tri"] for r in res.per_vertex.collect()}
+    assert per == {1: 1, 2: 1, 3: 1}
+
+
+def test_synth_graph_matches_oracle(spark):
+    pages = pages_df_local(spark, 300)
+    ext = extract_links(latest_pages(pages))
+    edf = build_edges(ext).cache()
+    edges = [(r["src"], r["dst"]) for r in edf.collect()]
+    total, per = triangles_oracle(edges)
+    res = triangle_count(spark, edf)
+    assert res.total == total
+    got = {r["id"]: r["tri"] for r in res.per_vertex.collect()}
+    assert got == per
+    assert total > 0, "fixture should contain triangles"

@@ -1,0 +1,128 @@
+"""Text-analysis column builders — JVM-side expressions only (no UDFs).
+
+Each builder returns pyspark Columns composed from built-in functions, so
+the whole text pipeline stays inside whole-stage codegen. Every function
+here has an exact ANSI-SQL mirror in __spark_entry__.oracle_sql() (DuckDB);
+the pair (builder, SQL) is the per-operator correctness contract, so the
+semantics below are pinned:
+
+- norm_text: trim → collapse whitespace runs to ' ' → lowercase
+- tokens: split on single space; empty text → empty array
+- fingerprint: md5 hex of norm_text (rolling/content fingerprint)
+- lang_id: stopword-hit heuristic over {en,de,fr,es}, ladder tie-break
+  in that fixed order
+- quality_score: scalar expression over (token count, stopword ratio,
+  punctuation ratio) — single left-to-right double expression, so Spark
+  and DuckDB produce bit-identical doubles
+- simhash16: 16-bit simhash over tokens; bit b is sign(Σ ±1) where the
+  per-token ±1 is whether hex digit b of md5(token) has its high bit set
+  (md5 gives an engine-independent hash; bit rule '89abcdef')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Pinned stopword sets (tiny on purpose: deterministic, SQL-mirrorable).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "de", "que", "los", "una", "es"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+SIMHASH_BITS = 16
+
+
+def norm_text(c: Column) -> Column:
+    # NULL text behaves as empty text everywhere downstream (lang 'und',
+    # 0 tokens, quality of empty) — without the coalesce, NULL would slide
+    # through the CASE ladders and pick arbitrary branches.
+    return F.lower(F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    n = norm_text(c)
+    return F.when(F.length(n) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def fingerprint(c: Column) -> Column:
+    return F.md5(norm_text(c).cast("binary"))
+
+
+def stop_hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def lang_id(c: Column) -> Column:
+    """argmax stopword hits with fixed-order tie-break en>de>fr>es;
+    all-zero → 'und' (undetermined)."""
+    t = tokens(c)
+    hits = {lang: stop_hits(t, lang) for lang in LANG_ORDER}
+    mx = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    expr = F.when(mx == 0, F.lit("und"))
+    for lang in LANG_ORDER[:-1]:
+        expr = expr.when(hits[lang] == mx, F.lit(lang))
+    return expr.otherwise(F.lit(LANG_ORDER[-1]))
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic in [0,1]: length credit + English-stopword ratio +
+    alphanumeric cleanliness. One fixed-shape double expression."""
+    n = norm_text(c)
+    t = tokens(c)
+    ntok = F.size(t).cast("double")
+    stop_ratio = F.when(
+        ntok > 0, stop_hits(t, "en").cast("double") / ntok
+    ).otherwise(F.lit(0.0))
+    clean_len = F.length(F.regexp_replace(n, r"[^a-z0-9 ]", "")).cast("double")
+    punct_ratio = F.when(
+        F.length(n) > 0, (F.length(n).cast("double") - clean_len) / F.length(n).cast("double")
+    ).otherwise(F.lit(1.0))
+    length_credit = F.least(F.lit(1.0), ntok / F.lit(50.0))
+    return length_credit * 0.4 + stop_ratio * 0.3 + (F.lit(1.0) - punct_ratio) * 0.3
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash int) — 16-bit simhash; docs with no tokens → 0."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
+    )
+    h = toks.select(id_col, F.md5(F.col("_tok").cast("binary")).alias("_h"))
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").isNull(), F.lit(0))
+                .when(F.substring("_h", b + 1, 1).isin(*_HIGH_HEX), F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"_b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bits = sum(
+        (F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select(F.col(id_col), bits.alias("simhash"))
+
+
+def shingles(c: Column, size: int = 3) -> Column:
+    """Distinct word n-gram shingles; < size tokens → single joined shingle."""
+    t = tokens(c)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - size),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(size)]),
+    )
+    return F.array_distinct(
+        F.when(n >= size, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    )

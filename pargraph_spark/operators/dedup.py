@@ -1,0 +1,133 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four tiers, all JVM-side expressions (no Python in the hot path):
+
+- exact_dedup: hash-groupBy on the content fingerprint. One shuffle of
+  (hash, id) pairs — never the payload.
+- MinHash + LSH: shingle → J md5-minhashes → B bands → band-bucket
+  self-join. The md5-based hash family is engine-independent (the DuckDB
+  oracle computes the identical signatures), and lexicographic min over
+  hex digests is a valid uniform minhash. At 10^12 docs the band join is
+  the only super-linear step and it only touches (band_sig, id) pairs.
+- SimHash (functions.text.simhash16): near-dup via hamming buckets.
+- ngram-Jaccard verify: exact Jaccard on the LSH candidate pairs only
+  (never all-pairs), one shingle-explode join per side.
+
+LSH parameters: num_hashes J and num_bands B with B | J; rows-per-band
+r = J/B gives the usual S-curve P(candidate) = 1-(1-j^r)^B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pargraph_spark.functions.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_dupes, canonical_id): one row per distinct content;
+    canonical = min id. Downstream keep-list = join on canonical_id."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, shingle_size: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_size)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, h0..h{J-1}) — h_j = min over shingles of md5('j:' || shingle).
+
+    Lexicographic min over fixed-length hex digests == numeric min over the
+    128-bit hash, so each h_j is a uniform minhash; the 'j:' prefix gives J
+    independent hash functions. md5 keeps Spark and DuckDB bit-identical.
+    """
+    return sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: DataFrame, num_hashes: int = 8, num_bands: int = 4) -> DataFrame:
+    """(id, band, sig) — band signature = md5 of its row concat."""
+    assert num_hashes % num_bands == 0
+    r = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"h{b * r + i}") for i in range(r)]).cast("binary"))
+            for b in range(num_bands)
+        ]
+    )
+    return sig.select(
+        "id", F.posexplode(bands).alias("band", "sig")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """distinct (a < b) doc pairs sharing ≥1 band bucket."""
+    left = bands.select(F.col("band"), F.col("sig"), F.col("id").alias("a"))
+    right = bands.select(F.col("band"), F.col("sig"), F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: (a, b, jaccard).
+
+    inter/union are exact ints; the single division is bit-identical across
+    engines. Pairs below threshold are dropped.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce("inter", F.lit(0)).cast("double")
+                / (F.col("sza") + F.col("szb") - F.coalesce("inter", F.lit(0))).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: (a, b, jaccard) above threshold."""
+    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), num_hashes, num_bands))
+    return jaccard_verify(cands, sh, threshold)

@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pargraph_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash16,
+    shingles,
+    token_count,
+)
+from pargraph_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip()).lower()
+
+
+def _toks(s: str) -> list[str]:
+    n = _norm(s)
+    return n.split(" ") if n else []
+
+
+def test_token_count_and_fingerprint(spark, docs):
+    rows = docs.select(
+        "doc_id", "text", token_count(F.col("text")).alias("n"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == len(_toks(r["text"]))
+        assert r["fp"] == hashlib.md5(_norm(r["text"]).encode()).hexdigest()
+
+
+def test_lang_id_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "xyzzy qwerty"),
+         (4, ""),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und", 4: "und", 5: "und"}
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_simhash_matches_python(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash16(docs, "doc_id", "text").collect()}
+
+    def py_simhash(text: str) -> int:
+        sums = [0] * 16
+        for tok in _toks(text):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(16):
+                sums[b] += 1 if h[b] in "89abcdef" else -1
+        return sum((1 << b) for b in range(16) if sums[b] > 0)
+
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == py_simhash(r["text"]), r["doc_id"]
+
+
+def test_shingles_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "id long, text string"
+    )
+    got = {r["id"]: sorted(r["s"]) for r in df.select("id", shingles(F.col("text"), 3).alias("s")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b"]
+    assert got[3] == [""]
+
+
+def test_exact_dedup_with_real_dupes(spark, docs):
+    with_dupes = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").limit(10)
+    )
+    out = exact_dedup(with_dupes, "doc_id", "text")
+    assert out.where(F.col("n_dupes") == 2).count() == 10
+    # canonical is the min doc_id (the original)
+    assert out.where(F.col("n_dupes") == 2).where(F.col("canonical_id") >= 100000).count() == 0
+
+
+def test_minhash_matches_python_and_finds_near_dupes(spark, docs):
+    sh = doc_shingles(docs.select("doc_id", "text"), "doc_id", "text", shingle_size=1).cache()
+    sig = minhash_signatures(sh, num_hashes=8)
+    got = {r["id"]: [r[f"h{j}"] for j in range(8)] for r in sig.collect()}
+
+    for r in docs.select("doc_id", "text").collect():
+        sset = set(_toks(r["text"])) or {""}
+        expect = [
+            min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in sset)
+            for j in range(8)
+        ]
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+
+    cands = lsh_candidate_pairs(lsh_bands(sig, 8, 4))
+    verified = jaccard_verify(cands, sh, threshold=0.0)
+    rows = verified.collect()
+    assert len(rows) > 0, "shared-vocab corpus should give LSH candidates"
+    # spot-check jaccard exactness
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows[:20]:
+        a, b = set(_toks(texts[r["a"]])), set(_toks(texts[r["b"]]))
+        assert math.isclose(r["jaccard"], len(a & b) / len(a | b), rel_tol=0, abs_tol=0)

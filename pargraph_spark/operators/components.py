@@ -72,6 +72,19 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def large_star_round(edges: DataFrame) -> DataFrame:
+    """One public large-star round over edges(src,dst) → (u, v) edge set.
+
+    Exposed for per-round conformance checks (SQL-expressible, unlike the
+    full fixpoint)."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    return _large_star(e)
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,

@@ -28,16 +28,23 @@ from pyspark.sql import functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
-    # ordered fold => deterministic float result for a given pair
+    # Cast to double BEFORE multiplying: a float32×float32 product is exact
+    # in double (24+24 ≤ 53 mantissa bits), so the per-element products are
+    # engine-independent and only the (tiny) summation-order effect remains.
+    # Ordered left-to-right fold => deterministic result for a given pair.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

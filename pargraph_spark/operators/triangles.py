@@ -49,8 +49,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
-    o = _oriented(edges).persist()
+def triangle_triples(edges: DataFrame) -> DataFrame:
+    """(s, x, y) — every triangle exactly once, vertices in (deg,id) order."""
+    o = _oriented(edges)
     e1 = o.select(F.col("s"), F.col("t").alias("x"), F.col("degt").alias("degx"))
     e2 = o.select(F.col("s"), F.col("t").alias("y"), F.col("degt").alias("degy"))
     # each unordered wedge once: (x before y) in the same (deg, id) order
@@ -59,8 +60,28 @@ def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
         | ((F.col("degx") == F.col("degy")) & (F.col("x") < F.col("y")))
     ).select("s", "x", "y")
     closing = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
-    tris = wedges.join(closing, ["x", "y"], "inner").persist()
+    return wedges.join(closing, ["x", "y"], "inner").select("s", "x", "y")
 
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """(id, tri) for every vertex in ≥1 triangle."""
+    tris = triangle_triples(edges)
+    return (
+        tris.select(F.col("s").alias("id"))
+        .unionByName(tris.select(F.col("x").alias("id")))
+        .unionByName(tris.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri"))
+    )
+
+
+def triangles_global(edges: DataFrame) -> DataFrame:
+    """Single row (n_triangles: long)."""
+    return triangle_triples(edges).agg(F.count("*").alias("n_triangles"))
+
+
+def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
+    tris = triangle_triples(edges).persist()
     total = tris.count()
     per_vertex = (
         tris.select(F.col("s").alias("id"))

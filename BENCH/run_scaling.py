@@ -2,18 +2,21 @@
 
 No real cluster exists in this sandbox, so per the session protocol
 (BASELINE.md) the N→4N-executor criterion is evidenced by running the SAME
-job on the SAME deterministic input at two local parallelism levels in
-separate processes, with spark.sql.shuffle.partitions scaled with cores and
+job on the SAME input at two local parallelism levels in separate
+processes, with spark.sql.shuffle.partitions scaled with cores and
 everything else identical.
 
-Job: PageRank (both modes) over the synthetic pages link graph
-(pargraph_spark.synth, seed 42 — identical rows at any parallelism), fixed
-superstep count, per-superstep edges/sec; warm-up supersteps discarded.
+Protocol:
+1. prep (once): synthetic pages graph (seed 42) → extracted distinct edge
+   table, written to parquet — the shared input for every level.
+2. per level (fresh process, fresh JVM): read edges, repartition to
+   2×cores by src, PageRank for a fixed 8 supersteps with check_every=4
+   (one Spark job per superstep), record per-superstep edges/sec.
+3. efficiency = eps(4N) / (4 × eps(N)), warm-up supersteps discarded.
 
 Usage:
-  python BENCH/run_scaling.py                  # full comparison → BENCH/BASELINE.md
-  python BENCH/run_scaling.py --pages 200000 --pairs 8:32 2:8
-  python BENCH/run_scaling.py --worker --cores 8 --pages 200000  # one level (internal)
+  python BENCH/run_scaling.py                        # → BENCH/BASELINE.md
+  python BENCH/run_scaling.py --pages 3000000 --pairs 8:32 2:8
 """
 
 from __future__ import annotations
@@ -29,49 +32,90 @@ sys.path.insert(0, REPO)
 
 WARMUP = 2
 SUPERSTEPS = 8
+CHECK_EVERY = 4
 
 
-def run_worker(cores: int, pages: int, mode: str) -> dict:
+def _calib_work(_):
+    import numpy as np
+
+    a = np.random.default_rng(1).random((600, 600))
+    s = 0.0
+    for _ in range(20):
+        s += float((a @ a).sum())
+    return s
+
+
+def calibrate(pairs: list[tuple[int, int]]) -> dict:
+    """Machine parallel-capacity ceiling: a perfectly-parallel pure-CPU
+    pool (numpy matmuls, BLAS pinned to 1 thread) at each core count.
+    On oversubscribed/steal-prone vCPUs the achievable efficiency of ANY
+    workload is bounded by this number — reported alongside the engine's
+    efficiency so the environment ceiling is explicit."""
+    import multiprocessing as mp
+
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    counts = sorted({c for p in pairs for c in p})
+    thr = {}
+    total = 64
+    for procs in counts:
+        t0 = __import__("time").time()
+        with mp.Pool(procs) as pool:
+            pool.map(_calib_work, range(total))
+        thr[procs] = total / (__import__("time").time() - t0)
+    return {
+        "tasks_per_sec": thr,
+        "efficiency": {
+            f"{n}:{n4}": thr[n4] / ((n4 / n) * thr[n]) for n, n4 in pairs
+        },
+    }
+
+
+def prep_edges(pages: int, path: str, cores: int) -> None:
     from pargraph_spark.operators.edges import build_edges
     from pargraph_spark.operators.extract_links import extract_links
-    from pargraph_spark.operators.pagerank import pagerank
     from pargraph_spark.session import get_spark
     from pargraph_spark.sources.pages import latest_pages
     from pargraph_spark.synth import generate_pages_spark
 
+    spark = get_spark("scaling-prep", cores=cores, shuffle_partitions=2 * cores,
+                      extra_conf={"spark.ui.enabled": "false"})
+    pages_df = generate_pages_spark(spark, pages, seed=42, num_partitions=2 * cores)
+    edges = build_edges(extract_links(latest_pages(pages_df)))
+    edges.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_worker(cores: int, edges_path: str, mode: str) -> dict:
+    from pargraph_spark.operators.pagerank import pagerank
+    from pargraph_spark.session import get_spark
+
     shuffle = 2 * cores
     spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=shuffle,
                       extra_conf={"spark.ui.enabled": "false"})
-    pages_df = generate_pages_spark(spark, pages, seed=42, num_partitions=shuffle)
-    edges = build_edges(extract_links(latest_pages(pages_df)), num_partitions=shuffle).persist()
-    n_edges = edges.count()
+    edges = spark.read.parquet(edges_path)
     res = pagerank(spark, edges, tol=0.0, max_iter=SUPERSTEPS, mode=mode,
-                   num_partitions=shuffle)
+                   num_partitions=shuffle, check_every=CHECK_EVERY)
+    n_edges = res.metrics.supersteps[0].edges
     steps = [m.to_dict() for m in res.metrics.supersteps]
-    measured = steps[WARMUP:]
-    eps = [s["edges_per_sec"] for s in measured]
+    eps = [s["edges_per_sec"] for s in steps[WARMUP:]]
     out = {
         "cores": cores,
         "mode": mode,
-        "pages": pages,
         "edges": n_edges,
         "shuffle_partitions": shuffle,
         "supersteps": steps,
-        "edges_per_sec": {
-            "mean": sum(eps) / len(eps),
-            "min": min(eps),
-            "max": max(eps),
-        },
+        "edges_per_sec": {"mean": sum(eps) / len(eps), "min": min(eps), "max": max(eps)},
     }
     spark.stop()
     return out
 
 
-def spawn(cores: int, pages: int, mode: str) -> dict:
+def spawn(cores: int, edges_path: str, mode: str) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO, PYTHONUNBUFFERED="1")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         "--cores", str(cores), "--pages", str(pages), "--mode", mode],
+         "--cores", str(cores), "--edges-path", edges_path, "--mode", mode],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     if proc.returncode != 0:
@@ -83,23 +127,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
-    ap.add_argument("--pages", type=int, default=200_000)
+    ap.add_argument("--pages", type=int, default=1_500_000)
+    ap.add_argument("--edges-path", default="/tmp/pargraph_scaling_edges.parquet")
     ap.add_argument("--mode", default="dataframe")
     ap.add_argument("--modes", nargs="*", default=["dataframe", "csr"])
     ap.add_argument("--pairs", nargs="*", default=["8:32"],
                     help="N:4N core pairs, e.g. 8:32 2:8")
+    ap.add_argument("--force-prep", action="store_true")
     args = ap.parse_args()
 
     if args.worker:
-        print(json.dumps(run_worker(args.cores, args.pages, args.mode)))
+        print(json.dumps(run_worker(args.cores, args.edges_path, args.mode)))
         return
+
+    if args.force_prep or not os.path.exists(args.edges_path):
+        print(f"prep: generating {args.pages} pages -> {args.edges_path}")
+        prep_edges(args.pages, args.edges_path, cores=os.cpu_count() or 8)
+
+    pair_list = [tuple(int(x) for x in p.split(":")) for p in args.pairs]
+    calib = calibrate(pair_list)
+    for pair, eff in calib["efficiency"].items():
+        print(f"machine calibration (pure-CPU ceiling) {pair}: efficiency {eff:.2f}")
 
     results = []
     for mode in args.modes:
         for pair in args.pairs:
             n, n4 = (int(x) for x in pair.split(":"))
-            lo = spawn(n, args.pages, mode)
-            hi = spawn(n4, args.pages, mode)
+            lo = spawn(n, args.edges_path, mode)
+            hi = spawn(n4, args.edges_path, mode)
             eff = hi["edges_per_sec"]["mean"] / ((n4 / n) * lo["edges_per_sec"]["mean"])
             results.append({"mode": mode, "n": n, "n4": n4, "lo": lo, "hi": hi,
                             "efficiency": eff})
@@ -108,33 +163,46 @@ def main() -> None:
                   f"edges/s, efficiency {eff:.2f}")
 
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump({"pages": args.pages, "warmup": WARMUP,
-                   "supersteps": SUPERSTEPS, "results": results}, f, indent=2)
+        json.dump({"pages": args.pages, "warmup": WARMUP, "check_every": CHECK_EVERY,
+                   "supersteps": SUPERSTEPS, "machine_calibration": calib,
+                   "results": results}, f, indent=2)
 
     lines = [
         "# BENCH/BASELINE — measured scaling evidence",
         "",
-        f"Job: PageRank, {SUPERSTEPS} supersteps (first {WARMUP} discarded as warm-up), "
-        f"synthetic pages graph seed=42, {args.pages} pages "
-        f"({results[0]['lo']['edges']} edges), shuffle partitions = 2x cores, "
-        "all other config identical. Each level runs in a fresh process "
-        "(fresh JVM) on the same input.",
+        f"Job: PageRank, {SUPERSTEPS} supersteps (first {WARMUP} discarded as "
+        f"warm-up, convergence check every {CHECK_EVERY} → one Spark job per "
+        f"superstep), shared pre-materialized edge table "
+        f"({results[0]['lo']['edges']} edges from {args.pages} synthetic pages, "
+        "seed 42), shuffle partitions = 2×cores, all other config identical. "
+        "Each level runs in a fresh process (fresh JVM) on the same input.",
         "",
-        "| mode | cores N | cores 4N | edges/s @N (mean) | edges/s @4N (mean) | efficiency T4N/(4·TN) |",
-        "|---|---|---|---|---|---|",
+        "| mode | cores N | cores 4N | edges/s @N (mean) | edges/s @4N (mean) | efficiency T4N/(4·TN) | machine ceiling (pure-CPU) | normalized |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
+        ceil = calib["efficiency"].get(f"{r['n']}:{r['n4']}", float("nan"))
         lines.append(
             f"| {r['mode']} | {r['n']} | {r['n4']} | "
             f"{r['lo']['edges_per_sec']['mean']:.0f} | "
-            f"{r['hi']['edges_per_sec']['mean']:.0f} | {r['efficiency']:.2f} |"
+            f"{r['hi']['edges_per_sec']['mean']:.0f} | {r['efficiency']:.2f} | "
+            f"{ceil:.2f} | {r['efficiency'] / ceil:.2f} |"
         )
+    lines += [
+        "",
+        "The machine-ceiling column is the efficiency a PERFECTLY parallel "
+        "pure-CPU workload (BLAS-pinned numpy matmul pool) achieves on this "
+        "sandbox's oversubscribed vCPUs at the same core pair; 'normalized' "
+        "is the engine's efficiency divided by that ceiling.",
+    ]
     lines += [
         "",
         "Caveat: single-machine core scaling (shared memory bus, no network "
         "shuffle) is an optimistic-but-honest proxy for multi-executor "
-        "scaling; per-superstep fixed costs (job scheduling, Arrow batch "
-        "setup) are the dominant anti-scaling term at this input size.",
+        "scaling; per-superstep fixed costs (driver job scheduling, Arrow "
+        "batch setup) are the dominant anti-scaling term at small inputs, "
+        "which is why the evidence graph is sized so one superstep takes "
+        "seconds at the low level.",
         "",
         "Raw per-superstep numbers: BENCH/scaling.json",
     ]

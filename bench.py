@@ -87,8 +87,11 @@ def main() -> None:
     timed("triangle_count", lambda: triangles_global(edges).first())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # shingle_size=2: the synthetic corpus shares a ~40-word vocab, so
+    # 1-gram LSH marks nearly every pair a candidate (quadratic verify);
+    # bigram shingles give a realistic candidate density.
     timed("minhash_dedup",
-          lambda: minhash_dedup_pairs(docs, "doc_id", "text", shingle_size=1,
+          lambda: minhash_dedup_pairs(docs, "doc_id", "text", shingle_size=2,
                                       threshold=0.5).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()

@@ -143,5 +143,8 @@ def connected_components(
     comp = (
         all_vertices.join(e.select(F.col("u").alias("id"), F.col("v").alias("c")), "id", "left")
         .select("id", F.coalesce("c", "id").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    all_vertices.unpersist()
+    e.unpersist()
     return ComponentsResult(comp, rounds, converged, metrics)

@@ -95,4 +95,5 @@ def label_propagation(
             converged = True
             break
     sym.unpersist()
+    all_vertices.unpersist()
     return LabelPropResult(labels, it, converged, metrics)

@@ -87,7 +87,13 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    check_every: int = 1,
 ) -> PageRankResult:
+    """check_every: convergence-delta cadence. 1 (default) checks every
+    superstep (2 Spark jobs/superstep); k>1 amortizes the delta aggregate
+    (1 job/superstep otherwise) — iteration math is unchanged, only the
+    stop check happens on multiples of k, so a run may overshoot the
+    fixpoint by at most k-1 (deterministic for a given k)."""
     if mode not in ("dataframe", "csr"):
         raise ValueError(f"unknown mode {mode!r}")
     P = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
@@ -100,6 +106,8 @@ def pagerank(
     base = _vertex_base(edges, vertices).repartition(P, "id").persist()
     n = base.count()
     if n == 0:
+        edges.unpersist()
+        base.unpersist()
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, JobMetrics("pagerank"))
 
@@ -116,12 +124,12 @@ def pagerank(
         if m is not None:
             ranks = ckpt.load(spark, m["superstep"]).repartition(P, "id")
             start_iter = int(m["superstep"])
-            dang = float(m["dangling_mass"])
     if ranks is None:
-        ranks = base.withColumn("rank", F.lit(1.0 / n))
-        dang = float(
-            ranks.agg(F.coalesce(F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0))).first()[0]
+        ranks = base.withColumn("rank", F.lit(1.0 / n)).withColumn(
+            "_prev", F.lit(float("nan"))
         )
+    if "_prev" not in ranks.columns:
+        ranks = ranks.withColumn("_prev", F.lit(float("nan")))
     ranks = ranks.localCheckpoint(eager=True)
 
     metrics = JobMetrics(f"pagerank[{mode}]")
@@ -155,43 +163,60 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("msg").alias("msg"))
             )
+        # dangling mass enters the plan as a broadcast 1-row aggregate
+        # (crossJoin) instead of a driver collect: ONE job per superstep.
+        dang_df = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
+        )
         new_ranks = (
             ranks.join(msgs, ranks["id"] == msgs["dst"], "left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 ranks["id"],
                 ranks["outdeg"],
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(dang / n))
+                    * (
+                        F.coalesce(F.col("msg"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
                 ranks["rank"].alias("_prev"),
             )
             .localCheckpoint(eager=True)
         )
-        stats = new_ranks.agg(
-            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-            ).alias("dang"),
-        ).first()
-        delta, dang = float(stats["delta"]), float(stats["dang"])
         old = ranks
-        ranks = new_ranks.drop("_prev")
+        ranks = new_ranks
         old.unpersist()
         wall_ms = (time.monotonic() - t0) * 1000.0
+
+        delta = float("nan")
+        if it % check_every == 0 or it >= max_iter:
+            delta = float(
+                ranks.agg(F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+            )
+            deltas.append(delta)
         metrics.add(SuperstepMetric(it, wall_ms, n_edges, delta))
-        deltas.append(delta)
         if ckpt and (it % checkpoint_every == 0):
-            ckpt.save(ranks, it, {"dangling_mass": dang, "delta": delta,
-                                  "damping": damping, "n_vertices": n, "n_edges": n_edges})
-        if delta < tol:
+            ckpt.save(ranks, it, {"delta": delta, "damping": damping,
+                                  "n_vertices": n, "n_edges": n_edges})
+        if delta == delta and delta < tol:  # NaN-safe
             converged = True
             break
 
     if ckpt and converged:
-        ckpt.save(ranks, it, {"dangling_mass": dang, "delta": deltas[-1] if deltas else 0.0,
+        ckpt.save(ranks, it, {"delta": deltas[-1] if deltas else 0.0,
                               "damping": damping, "n_vertices": n, "n_edges": n_edges,
                               "converged": True})
     result = ranks.select("id", "rank")
+    # ranks is localCheckpoint-materialized (independent of these lineages):
+    # release the iteration working set — the analogue of the reference's
+    # ref-count release of dead intermediates (engine.py:63-76).
+    edges.unpersist()
+    base.unpersist()
+    if blocks is not None:
+        blocks.unpersist()
     return PageRankResult(result, it, converged, metrics, deltas)

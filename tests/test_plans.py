@@ -1,0 +1,93 @@
+"""Physical-plan audits: the 100-TB concerns verified on .explain output.
+
+These assert the *shape* of the plan, not results: column pruning reaches
+the parquet scan, small sides broadcast, aggregates partial-combine
+map-side, and the hot path stays in whole-stage codegen. Plan-only (no
+execution), so they are cheap.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from pargraph_spark.operators.pagerank import _vertex_base
+from pargraph_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_edge_build_scan_prunes_columns(spark):
+    plan = _plan(em._co_edges(spark, SF))
+    # the 11-column lineitem scan must read only the two join/select columns
+    reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert reads, plan
+    for r in reads:
+        cols = {c.split(":")[0] for c in r.split(",") if c}
+        assert cols <= {"l_orderkey", "l_partkey"}, cols
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = em._t(spark, SF, "documents").where(F.col("doc_id") < 10).select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan, plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    emb = em._t(spark, SF, "embeddings")
+    plan = _plan(cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
+    assert "Broadcast" in plan, plan
+
+
+def test_degree_agg_partial_combines(spark):
+    # groupBy count must be partial+final HashAggregate pairs (map-side
+    # combine = hub-skew safety for algebraic aggregates)
+    plan = _plan(em._q_degrees(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_pagerank_message_agg_partial_combines(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    base = _vertex_base(edges, None).withColumn("rank", F.lit(0.5))
+    msgs = (
+        edges.join(
+            base.where(F.col("outdeg") > 0).select(
+                "id", (F.col("rank") / F.col("outdeg")).alias("w")
+            ),
+            edges["src"] == F.col("id"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("w").alias("msg"))
+    )
+    plan = _plan(msgs)
+    assert "partial_sum" in plan, plan
+
+
+def test_text_pipeline_stays_jvm_side(spark):
+    # no BatchEvalPython / ArrowEvalPython in the text-analysis plan:
+    # everything is builtin expressions inside WholeStageCodegen
+    plan = _plan(em._q_doc_stats(spark, SF))
+    assert "EvalPython" not in plan, plan
+    assert "WholeStageCodegen" in plan, plan
+
+
+def test_extraction_is_arrow_not_row_python(spark):
+    from pargraph_spark.operators.extract_links import extract_links
+    from pargraph_spark.synth import pages_df_local
+
+    plan = _plan(extract_links(pages_df_local(spark, 5)))
+    # mapInPandas shows as MapInPandas (Arrow-batched); row-at-a-time Python
+    # UDFs would show BatchEvalPython
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -215,6 +215,28 @@ def _q_cosine_topk(spark, sf):
     )
 
 
+def _q_regex_token_count(spark, sf):
+    from pargraph_spark.functions.text import bpe_token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+def _q_winnow_fingerprints(spark, sf):
+    from pargraph_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"), "doc_id", "text", k=8, w=4)
+
+
+def _q_embedding_near_dup(spark, sf):
+    from pargraph_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    return out.select("a", "b", F.round(F.col("cos"), 6).alias("cos6"))
+
+
 def _q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     out = lsh_ann_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64, num_planes=4)
@@ -244,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
+        "regex_token_count": _q_regex_token_count,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -462,4 +487,33 @@ def oracle_sql() -> dict[str, str]:
             "lower(substr(hex(encode(text)), 1, 16)) AS head_hex FROM documents"
         ),
         "cosine_topk": _COSINE_SQL,
+        "regex_token_count": (
+            f"WITH {DOCS_NORM_SQL} SELECT doc_id, CAST(len(regexp_extract_all(n, "
+            r"'[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens FROM t"
+        ),
+        "winnow_fingerprints": (
+            # k=8, w=4; mirrors operators.dedup.winnow_fingerprints exactly
+            f"WITH {DOCS_NORM_SQL}, "
+            "h AS MATERIALIZED (SELECT doc_id, CASE WHEN length(n) < 8 THEN [md5(n)] "
+            "ELSE [md5(n[i:i+7]) for i in range(1, length(n) - 8 + 2)] END AS hs FROM t), "
+            "wn AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] "
+            "ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)] END AS ws FROM h) "
+            "SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn"
+        ),
+        "embedding_near_dup": """
+WITH u AS MATERIALIZED (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.a, d.b, round(d.dot / (na.nm * nb.nm), 6) AS cos6
+FROM dots d JOIN nrm na ON na.vec_id = d.a JOIN nrm nb ON nb.vec_id = d.b
+WHERE d.dot / (na.nm * nb.nm) >= 0.4
+""",
     }

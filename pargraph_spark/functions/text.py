@@ -58,6 +58,16 @@ def fingerprint(c: Column) -> Column:
     return F.md5(norm_text(c).cast("binary"))
 
 
+BPE_ISH_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish tokenization: alnum runs OR single punctuation marks —
+    the pre-tokenizer split most BPE vocabularies assume. Counting only
+    (JVM regexp_extract_all), mirrored exactly by the DuckDB oracle."""
+    return F.size(F.regexp_extract_all(norm_text(c), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def stop_hits(toks: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     return F.size(F.filter(toks, lambda x: x.isin(*words)))

@@ -118,6 +118,47 @@ def jaccard_verify(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprints with winnowing (Schleimer,
+    Wilkerson, Aiken, SIGMOD'03): hash every char k-gram, keep the min of
+    each w-window, dedup → (id, wfp). Guarantees any match of length
+    ≥ k+w-1 shares a fingerprint; output is ~1/w the k-gram count.
+
+    Row-based plan (positions exploded, winnow = sliding min over a row
+    window), NOT nested array lambdas: Catalyst does no CSE across
+    higher-order-function references, so an array formulation re-evaluates
+    the k-gram hash array per window element — O(len²) md5+regex per doc.
+    Rows keep it linear and let the sliding min shuffle/scale like any
+    other keyed window. md5 keeps the DuckDB oracle bit-identical; texts
+    shorter than k get the whole-text hash (pinned in the oracle too).
+    """
+    from pyspark.sql import Window
+
+    from pargraph_spark.functions.text import norm_text
+
+    base = df.select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("n"))
+    long_docs = base.where(F.length("n") >= k).select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("n") - k + 1)).alias("pos"),
+        F.col("n"),
+    ).select("id", "pos", F.md5(F.col("n").substr(F.col("pos"), F.lit(k)).cast("binary")).alias("h"))
+    short_docs = base.where(F.length("n") < k).select(
+        "id", F.lit(1).alias("pos"), F.md5(F.col("n").cast("binary")).alias("h")
+    )
+    hs = long_docs.unionByName(short_docs)
+    part = Window.partitionBy("id")
+    sliding = part.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    return (
+        hs.withColumn("_cnt", F.count("*").over(part))
+        .withColumn("wfp", F.min("h").over(sliding))
+        .where(F.col("pos") <= F.greatest(F.col("_cnt") - w + 1, F.lit(1)))
+        .select("id", "wfp")
+        .distinct()
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

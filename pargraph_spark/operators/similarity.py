@@ -84,6 +84,28 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a < b, cos ≥ threshold).
+
+    Brute-force all-pairs — the correctness tier; the scale path buckets
+    by hyperplane_sign_bits first (near-dups share buckets with high
+    probability) and verifies within buckets, same shape as MinHash→LSH→
+    Jaccard for text.
+    """
+    a = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane_sign_bits(vec: Column, dim: int, num_planes: int = 8) -> Column:
     """LSH bucket id: Σ_b [dot(vec, plane_b) > 0] << b, planes ±1-valued
     from md5 bits (deterministic, no stored model)."""

@@ -95,6 +95,78 @@ def test_shingles_semantics(spark):
     assert got[3] == [""]
 
 
+def test_bpe_token_count(spark):
+    import re as _re
+
+    from pargraph_spark.functions.text import BPE_ISH_PATTERN, bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "ab, cd9 - x"), (2, ""), (3, None), (4, "Hello... world!!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    for r in df.collect():
+        norm = _norm(r["text"] or "")
+        assert got[r["doc_id"]] == len(_re.findall(BPE_ISH_PATTERN, norm))
+
+
+def test_winnow_fingerprints_match_python(spark, docs):
+    from pargraph_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=k, w=w).collect():
+        got.setdefault(r["id"], set()).add(r["wfp"])
+
+    for r in docs.select("doc_id", "text").collect():
+        n = _norm(r["text"])
+        if len(n) < k:
+            hs = [hashlib.md5(n.encode()).hexdigest()]
+        else:
+            hs = [hashlib.md5(n[i:i + k].encode()).hexdigest() for i in range(len(n) - k + 1)]
+        if len(hs) < w:
+            expect = {min(hs)}
+        else:
+            expect = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_winnow_guarantee_shared_fingerprint_on_overlap(spark):
+    from pargraph_spark.operators.dedup import winnow_fingerprints
+
+    # two docs sharing a long substring must share >=1 fingerprint (k+w-1 rule)
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, "XXXX " + common + " YYYY"), (2, "AAAA " + common + " BBBB"), (3, "zzz unrelated qqq")],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        fps[r["id"]].add(r["wfp"])
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+
+
+def test_embedding_near_dup(spark):
+    from pargraph_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    import numpy as np
+
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    expect = set()
+    for a in data:
+        for b in data:
+            if a < b:
+                c = float(data[a] @ data[b] / (np.linalg.norm(data[a]) * np.linalg.norm(data[b])))
+                if c >= 0.4:
+                    expect.add((a, b))
+    assert {(r["a"], r["b"]) for r in rows} == expect
+    for r in rows:
+        assert r["cos"] >= 0.4
+
+
 def test_exact_dedup_with_real_dupes(spark, docs):
     with_dupes = docs.select("doc_id", "text").unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text").limit(10)

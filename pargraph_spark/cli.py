@@ -1,0 +1,103 @@
+"""spark-submit entry point.
+
+Cluster usage (north_star deployment shape):
+    zip -r engine.zip pargraph_spark
+    spark-submit --py-files engine.zip -m pargraph_spark.cli ... # or:
+    spark-submit --py-files engine.zip cli.py pagerank \
+        --pages s3://bucket/pages/ --output s3://bucket/ranks/ \
+        --checkpoint-dir s3://bucket/ck/ --partitions 4096
+
+Local smoke:
+    python -m pargraph_spark.cli pagerank --synth-pages 5000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pargraph_spark.plans.linkgraph import build_linkgraph, run_all
+from pargraph_spark.session import get_spark
+from pargraph_spark.synth import generate_pages_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pargraph_spark")
+    ap.add_argument("job", choices=["pagerank", "components", "labels", "triangles", "all"])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
+    src.add_argument("--synth-pages", type=int, help="generate N synthetic pages (seed 42)")
+    ap.add_argument("--output", required=True, help="output directory (parquet)")
+    ap.add_argument("--format", default="parquet")
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--partitions", type=int)
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-9)
+    ap.add_argument("--mode", default="dataframe", choices=["dataframe", "csr"])
+    args = ap.parse_args(argv)
+
+    spark = get_spark("pargraph-spark-cli", cores=args.cores,
+                      shuffle_partitions=args.partitions)
+    pages = (
+        generate_pages_spark(spark, args.synth_pages, seed=42)
+        if args.synth_pages
+        else args.pages
+    )
+    graph = build_linkgraph(spark, pages, num_partitions=args.partitions)
+    graph.vertices.write.mode("overwrite").parquet(f"{args.output}/vertices.parquet")
+    graph.edges.write.mode("overwrite").parquet(f"{args.output}/edges.parquet")
+
+    summary: dict = {"job": args.job}
+    results = run_all(
+        spark, graph, damping=args.damping, tol=args.tol,
+        checkpoint_dir=args.checkpoint_dir, num_partitions=args.partitions,
+        pagerank_mode=args.mode,
+    ) if args.job == "all" else None
+
+    if args.job in ("pagerank", "all"):
+        pr = results["pagerank"] if results else None
+        if pr is None:
+            from pargraph_spark.operators.pagerank import pagerank
+
+            pr = pagerank(spark, graph.edges, graph.vertices.select("id"),
+                          damping=args.damping, tol=args.tol, mode=args.mode,
+                          checkpoint_dir=args.checkpoint_dir,
+                          num_partitions=args.partitions)
+        pr.ranks.write.mode("overwrite").parquet(f"{args.output}/pagerank.parquet")
+        summary["pagerank"] = pr.metrics.to_dict() | {"converged": pr.converged}
+    if args.job in ("components", "all"):
+        cc = results["components"] if results else None
+        if cc is None:
+            from pargraph_spark.operators.components import connected_components
+
+            cc = connected_components(spark, graph.edges, graph.vertices.select("id"),
+                                      num_partitions=args.partitions)
+        cc.components.write.mode("overwrite").parquet(f"{args.output}/components.parquet")
+        summary["components"] = {"rounds": cc.rounds, "converged": cc.converged}
+    if args.job in ("labels", "all"):
+        lp = results["labels"] if results else None
+        if lp is None:
+            from pargraph_spark.operators.labelprop import label_propagation
+
+            lp = label_propagation(spark, graph.edges, graph.vertices.select("id"),
+                                   num_partitions=args.partitions)
+        lp.labels.write.mode("overwrite").parquet(f"{args.output}/labels.parquet")
+        summary["labels"] = {"iterations": lp.iterations, "converged": lp.converged}
+    if args.job in ("triangles", "all"):
+        tc = results["triangles"] if results else None
+        if tc is None:
+            from pargraph_spark.operators.triangles import triangle_count
+
+            tc = triangle_count(spark, graph.edges)
+        tc.per_vertex.write.mode("overwrite").parquet(f"{args.output}/triangles.parquet")
+        summary["triangles"] = {"total": tc.total}
+
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import math
+
+from pargraph_spark.operators.extract_links import extract_links
+from pargraph_spark.operators.edges import build_edges
+from pargraph_spark.plans.linkgraph import build_linkgraph, run_all
+from pargraph_spark.sources.pages import latest_pages
+from pargraph_spark.synth import pages_df_local
+
+from .oracles import pagerank_oracle
+
+
+def test_linkgraph_pipeline_end_to_end(spark, tmp_path):
+    pages = pages_df_local(spark, 200)
+    g = build_linkgraph(spark, pages, num_partitions=4)
+    assert g.edges.count() > 0
+    # pipeline-built graph equals operator-built graph
+    direct = build_edges(extract_links(latest_pages(pages)))
+    assert g.edges.exceptAll(direct).count() == 0
+    assert direct.exceptAll(g.edges).count() == 0
+
+    out = run_all(spark, g, tol=1e-8, num_partitions=4)
+    ranks = {r["id"]: r["rank"] for r in out["pagerank"].ranks.collect()}
+    edges = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    verts = [r["id"] for r in g.vertices.collect()]
+    oracle = pagerank_oracle(edges, verts, tol=1e-10)
+    for v in verts:
+        assert math.isclose(ranks[v], oracle[v], abs_tol=1e-6)
+    assert out["components"].converged
+    assert out["labels"].converged
+    assert out["triangles"].total >= 0

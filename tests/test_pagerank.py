@@ -78,6 +78,21 @@ def test_modes_agree(spark):
         assert math.isclose(g1[v], g2[v], abs_tol=1e-9), v
 
 
+def test_partition_count_invariance(spark):
+    # SURVEY.md §5.2.2: results must not depend on physical partitioning
+    pages = pages_df_local(spark, 150)
+    ext = extract_links(latest_pages(pages))
+    edf = build_edges(ext).cache()
+    ranks = {}
+    for parts in (1, 7):
+        res = pagerank(spark, edf, mode="dataframe", num_partitions=parts, tol=1e-9)
+        ranks[parts] = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert set(ranks[1]) == set(ranks[7])
+    for v in ranks[1]:
+        # only float-summation-order noise may differ across partitionings
+        assert math.isclose(ranks[1][v], ranks[7][v], abs_tol=1e-12), v
+
+
 def test_isolated_vertices_and_empty(spark):
     # extra vertices with no edges still get teleport mass
     edges = [(1, 2)]

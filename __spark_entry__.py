@@ -97,7 +97,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank over the sf0.001 co-occurrence link
     graph — top 50 vertices by rank."""
     edges = _co_edges(spark, "/root/testdata/sf0.001")
-    res = pagerank(spark, edges, tol=1e-9, max_iter=100, mode="dataframe")
+    # explicit partitioning: the driver's session may default to 200
+    # shuffle partitions, absurd for a 6k-row smoke graph
+    res = pagerank(spark, edges, tol=1e-8, max_iter=60, mode="dataframe",
+                   num_partitions=8)
     return res.ranks.orderBy(F.desc("rank"), F.asc("id")).limit(50)
 
 

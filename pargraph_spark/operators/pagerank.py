@@ -207,7 +207,10 @@ def pagerank(
             converged = True
             break
 
-    if ckpt and converged:
+    # Skip the converged save when this superstep was already committed by
+    # the periodic save above (attempt-versioned saves are safe either way,
+    # but rewriting identical state is wasted I/O).
+    if ckpt and converged and (it % checkpoint_every != 0):
         ckpt.save(ranks, it, {"delta": deltas[-1] if deltas else 0.0,
                               "damping": damping, "n_vertices": n, "n_edges": n_edges,
                               "converged": True})

@@ -37,11 +37,18 @@ def top_k_hot(edges: DataFrame, key: str = "dst", k: int = 100) -> DataFrame:
 
 
 def with_salt(df: DataFrame, num_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic-result salting: the salt value itself may vary with
-    physical partitioning, but any downstream associative+commutative
-    combine is partitioning-invariant (tested in test_skew.py)."""
+    """Content-hash salting: the salt is pmod(xxhash64(all columns), n), so
+    a given row always lands in the same salt bucket regardless of physical
+    partitioning — the downstream two-level combine is therefore
+    bit-deterministic for integral values (grouping is stable), not merely
+    value-equal. Rows of a hot key spread across buckets as long as they
+    differ in ANY column (exact duplicate rows share a bucket — acceptable:
+    duplicates combine cheaply in the partial aggregate anyway). For
+    floating-point values even a stable grouping leaves within-partition
+    accumulation order unpinned, so double sums are deterministic only to
+    ~1 ulp × log(n) — documented, not promised (ADVICE r1)."""
     return df.withColumn(
-        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).cast("int")
     )
 
 

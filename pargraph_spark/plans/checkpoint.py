@@ -33,13 +33,23 @@ class CheckpointManager:
     def _manifest_path(self, superstep: int) -> str:
         return os.path.join(self.dir, f"{_MANIFEST_PREFIX}{superstep:06d}.json")
 
-    def _state_path(self, superstep: int) -> str:
-        return os.path.join(self.dir, f"state_{superstep:06d}.parquet")
+    def _state_path(self, superstep: int, attempt: int = 0) -> str:
+        suffix = "" if attempt == 0 else f"_a{attempt}"
+        return os.path.join(self.dir, f"state_{superstep:06d}{suffix}.parquet")
 
     def save(self, df: DataFrame, superstep: int, extra: dict[str, Any] | None = None) -> dict:
         t0 = time.monotonic()
-        path = self._state_path(superstep)
-        df.write.mode("overwrite").parquet(path)
+        # Never rewrite a state dir a committed manifest may point at: each
+        # save of a superstep gets a fresh attempt-suffixed dir, and the
+        # manifest records which dir is live (state_path). A kill mid-save
+        # leaves the previous manifest+state fully intact (ADVICE r1:
+        # overwrite-in-place violated the no-half-written-resume guarantee
+        # when the converged save landed on a checkpoint_every multiple).
+        attempt = 0
+        while os.path.exists(self._state_path(superstep, attempt)):
+            attempt += 1
+        path = self._state_path(superstep, attempt)
+        df.write.mode("error").parquet(path)
         parts = [
             {"pid": int(r["pid"]), "rows": int(r["rows"])}
             for r in df.groupBy(F.spark_partition_id().alias("pid"))
@@ -49,6 +59,7 @@ class CheckpointManager:
         manifest = {
             "job": os.path.basename(self.dir),
             "superstep": superstep,
+            "state_path": path,
             "num_partitions": len(parts),
             "partitions": sorted(parts, key=lambda p: p["pid"]),
             "rows": sum(p["rows"] for p in parts),
@@ -76,4 +87,12 @@ class CheckpointManager:
             return json.load(f)
 
     def load(self, spark: SparkSession, superstep: int) -> DataFrame:
-        return spark.read.parquet(self._state_path(superstep))
+        """Load the state the committed manifest for `superstep` points at
+        (manifests written before attempt-versioning lack state_path — fall
+        back to the attempt-0 layout)."""
+        path = self._state_path(superstep)
+        mpath = self._manifest_path(superstep)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                path = json.load(f).get("state_path", path)
+        return spark.read.parquet(path)

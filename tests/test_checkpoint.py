@@ -58,3 +58,64 @@ def test_halfwritten_checkpoint_invisible(tmp_path, spark):
     assert man["rows"] == 10
     back = ckpt.load(spark, 5)
     assert back.count() == 10
+
+
+def test_cc_resume_equals_uninterrupted(spark, tmp_path):
+    from pargraph_spark.operators.components import connected_components
+
+    edf = _edges(spark)
+    full = connected_components(spark, edf, num_partitions=4)
+    ref = {r["id"]: r["component"] for r in full.components.collect()}
+
+    ckpt_dir = str(tmp_path / "cc")
+    part = connected_components(spark, edf, num_partitions=4, max_rounds=1,
+                                checkpoint_dir=ckpt_dir, checkpoint_every=1)
+    assert not part.converged
+    m = CheckpointManager(ckpt_dir, "components").latest()
+    assert m is not None and m["superstep"] == 1
+
+    resumed = connected_components(spark, edf, num_partitions=4,
+                                   checkpoint_dir=ckpt_dir, checkpoint_every=1,
+                                   resume=True)
+    assert resumed.converged
+    got = {r["id"]: r["component"] for r in resumed.components.collect()}
+    assert got == ref
+
+
+def test_lpa_resume_equals_uninterrupted(spark, tmp_path):
+    from pargraph_spark.operators.labelprop import label_propagation
+
+    edf = _edges(spark)
+    full = label_propagation(spark, edf, num_partitions=4, max_iter=8)
+    ref = {r["id"]: r["label"] for r in full.labels.collect()}
+
+    ckpt_dir = str(tmp_path / "lpa")
+    part = label_propagation(spark, edf, num_partitions=4, max_iter=2,
+                             checkpoint_dir=ckpt_dir, checkpoint_every=2)
+    m = CheckpointManager(ckpt_dir, "labelprop").latest()
+    assert m is not None and m["superstep"] == 2
+
+    resumed = label_propagation(spark, edf, num_partitions=4, max_iter=8,
+                                checkpoint_dir=ckpt_dir, checkpoint_every=2,
+                                resume=True)
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    assert got == ref
+    assert resumed.iterations == full.iterations
+    assert resumed.converged == full.converged
+
+
+def test_resave_same_superstep_never_overwrites_committed_state(spark, tmp_path):
+    # A save of an already-committed superstep must go to a FRESH state dir
+    # (attempt-versioned) — overwrite-in-place would window a kill between
+    # parquet delete and manifest rename (ADVICE r1).
+    ckpt = CheckpointManager(str(tmp_path), "j")
+    df5 = spark.range(5).selectExpr("id", "cast(id as double) as rank")
+    ckpt.save(df5, 7)
+    first_path = ckpt.latest()["state_path"]
+    df9 = spark.range(9).selectExpr("id", "cast(id as double) as rank")
+    ckpt.save(df9, 7, {"converged": True})
+    m = ckpt.latest()
+    assert m["state_path"] != first_path
+    assert ckpt.load(spark, 7).count() == 9  # manifest points at the new state
+    # the first state dir is still intact (no destructive overwrite)
+    assert spark.read.parquet(first_path).count() == 5

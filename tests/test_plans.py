@@ -93,3 +93,36 @@ def test_extraction_is_arrow_not_row_python(spark):
     # UDFs would show BatchEvalPython
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_labelprop_edges_not_reexchanged_per_round(spark):
+    # Mirror of labelprop.py's per-round join (sym repartitioned on "u",
+    # joined on u == labels.id): the persisted E-row edge side must be
+    # probed in place — no Exchange between the join and the
+    # InMemoryTableScan (VERDICT r1 fix: the old repartition on "v"
+    # re-shuffled the full edge table every superstep).
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
+    )
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(P, "u")
+        .persist()
+    )
+    sym.count()
+    labels = spark.range(50).select(F.col("id"), F.col("id").alias("label"))
+    nbr = sym.join(labels, sym["u"] == labels["id"]).select(
+        sym["v"].alias("id"), "label"
+    )
+    plan = _plan(nbr)
+    # tree prints the sym (left/stream) side first: everything before the
+    # cached InMemoryRelation is join + sym-side operators — must hold no
+    # shuffle. (The labels side and the cached build plan may exchange.)
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange" not in prefix, plan
+    sym.unpersist()

@@ -31,3 +31,30 @@ def test_stream_edges_matches_batch(spark, tmp_path):
     # streaming path ran per micro-batch over ALL page rows (no latest-crawl
     # dedupe inside the stream) => superset of batch-latest edges
     assert batch and got >= batch
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate a replay by re-running the
+    # same drop with a FRESH stream checkpoint (batch_id restarts at 0) —
+    # the per-batch_id dynamic-overwrite sink must leave the edge table
+    # byte-identical, including row COUNT (append-mode duplicated rows).
+    from pargraph_spark.streaming.incremental import read_streamed_edges
+
+    in_dir = str(tmp_path / "drops")
+    edges_dir = str(tmp_path / "edges")
+    os.makedirs(in_dir)
+    pages_df_local(spark, 60).write.parquet(f"{in_dir}/drop0")
+
+    q = stream_edges(spark, f"{in_dir}/*", edges_dir, str(tmp_path / "ck1"),
+                     available_now=True)
+    q.awaitTermination(120)
+    first = read_streamed_edges(spark, edges_dir)
+    n1, set1 = first.count(), {(r["src"], r["dst"]) for r in first.collect()}
+
+    q = stream_edges(spark, f"{in_dir}/*", edges_dir, str(tmp_path / "ck2"),
+                     available_now=True)
+    q.awaitTermination(120)
+    again = read_streamed_edges(spark, edges_dir)
+    n2, set2 = again.count(), {(r["src"], r["dst"]) for r in again.collect()}
+    assert n1 == n2 and set1 == set2
+    assert n1 == len(set1)  # no duplicate rows anywhere

@@ -99,6 +99,20 @@ def main() -> None:
     timed("cosine_topk",
           lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count())
 
+    from pargraph_spark.operators.similarity import (
+        cosine_near_dup_bucketed,
+        lsh_ann_topk,
+    )
+
+    timed("ann_lsh",
+          lambda: lsh_ann_topk(emb, emb.where(F.col("vec_id") < 50), k=10, dim=64,
+                               num_tables=8, planes_per_table=6,
+                               multiprobe_bits=1).count())
+    near_dup_corpus = entrymod._near_dup_corpus(spark, sf_dir)
+    timed("embedding_near_dup_bucketed",
+          lambda: cosine_near_dup_bucketed(near_dup_corpus, threshold=0.9, dim=64,
+                                           num_tables=8, planes_per_table=8).count())
+
     spark.stop()
     print(json.dumps({
         "metric": "headline operator wall seconds (pagerank/cc/lpa/triangles/dedup/ann) "

@@ -94,6 +94,19 @@ def main(argv: list[str] | None = None) -> int:
         tc.per_vertex.write.mode("overwrite").parquet(f"{args.output}/triangles.parquet")
         summary["triangles"] = {"total": tc.total}
 
+    # durable job-spec artifact next to the outputs (the analogue of the
+    # reference persisting its task graph: enough to audit or re-run)
+    from pargraph_spark.plans.jobspec import JobSpec
+
+    JobSpec(
+        job=args.job,
+        operator="linkgraph." + args.job,
+        params={"damping": args.damping, "tol": args.tol, "mode": args.mode,
+                "partitions": args.partitions},
+        inputs={"pages": args.pages or f"synth:{args.synth_pages}:seed=42"},
+        outputs={"dir": args.output, "summary": summary},
+    ).save(f"{args.output}/jobspec.json")
+
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -2,12 +2,15 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extraction runs as Arrow-batched mapInPandas so
-payload bytes cross to Python once per batch, never per row. The actual
-codec step is STUBBED (this container ships no PIL/ffmpeg): decode_image /
-sample_frames raise NotImplementedError unless the optional library is
-importable, while extract_binary_features is a real, deterministic
-featureizer (length, md5, head/tail bytes) exercising the full Spark-side
-plumbing — schema, batching, partitioning — that a real decoder would use.
+payload bytes cross to Python once per batch, never per row.
+
+decode_image is REAL for the dependency-free raster formats (24-bit
+uncompressed BMP, binary PPM/P6) via pure-Python+numpy decoders with
+deterministic nearest-neighbor resize — exact pixel-hash tested. Codec
+formats (JPEG/PNG/...) fall back to PIL when importable and raise
+NotImplementedError otherwise (this container ships no PIL/ffmpeg).
+extract_binary_features is a deterministic featureizer (length, md5,
+head bytes) for codec-free pipelines.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,34 +62,102 @@ def extract_binary_features(media: DataFrame) -> DataFrame:
     )
 
 
-# ---- stubbed codec steps (real plumbing, fake/raising kernels) ----------
+# ---- image decode: real for BMP/PPM, PIL/raise for codec formats --------
+
+def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit uncompressed (BI_RGB) BMP → (width, height, RGB
+    row-major bytes). Pure Python + numpy; handles bottom-up and top-down
+    rows and 4-byte row padding. Other bit depths / compressions raise."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMPs (got bpp={bpp}, comp={comp})")
+    top_down, H = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, dtype=np.uint8, count=H * stride, offset=pixel_off)
+    rows = raw.reshape(H, stride)[:, : w * 3].reshape(H, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, H, rows[:, :, ::-1].tobytes()  # BGR → RGB
+
+
+def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a binary PPM (P6, maxval ≤ 255) → (width, height, RGB bytes).
+    Header tokens may be separated by whitespace/comments per the spec."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPMs unsupported")
+    return w, h, bytes(b[pos : pos + w * h * 3])
+
+
+def _nearest_resize(w: int, h: int, rgb: bytes, tw: int, th: int) -> bytes:
+    """Deterministic nearest-neighbor resize (floor index map — the same
+    pixel is always picked for a given (size, target))."""
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return a[ys][:, xs].tobytes()
+
+
+def decode_payload(b: bytes) -> tuple[int, int, bytes]:
+    """Sniff + decode one payload. BMP and PPM decode dependency-free;
+    anything else needs PIL and raises NotImplementedError without it."""
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] == b"P6":
+        return decode_ppm(b)
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "codec formats require PIL; BMP/PPM decode dependency-free — "
+            "use extract_binary_features for codec-free pipelines"
+        ) from e
+    import io  # pragma: no cover - env without PIL
+
+    img = Image.open(io.BytesIO(b)).convert("RGB")  # pragma: no cover
+    return img.width, img.height, img.tobytes()  # pragma: no cover
+
 
 def decode_image(media: DataFrame, target_size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """STUB: real image decode+resize requires PIL (not in this container).
-
-    The Spark-side contract is pinned: mapInPandas over (media_id, payload)
-    → (media_id, width int, height int, pixels binary). With PIL present
-    this decodes for real; without it, it raises at plan *execution* time.
-    """
+    """mapInPandas over (media_id, payload) → (media_id, width int,
+    height int, pixels binary): decode + deterministic nearest-neighbor
+    resize to target_size. width/height are the DECODED dims; pixels are
+    the resized RGB bytes (len = target_w × target_h × 3)."""
     schema = "media_id long, width int, height int, pixels binary"
+    tw, th = target_size
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env without PIL
-            raise NotImplementedError(
-                "image decode requires PIL; use extract_binary_features for "
-                "codec-free pipelines"
-            ) from e
-        import io
-
-        for pdf in batches:  # pragma: no cover - env without PIL
+        for pdf in batches:
             rows = {"media_id": pdf["media_id"], "width": [], "height": [], "pixels": []}
             for payload in pdf["payload"]:
-                img = Image.open(io.BytesIO(bytes(payload))).resize(target_size)
-                rows["width"].append(img.width)
-                rows["height"].append(img.height)
-                rows["pixels"].append(img.tobytes())
+                w, h, rgb = decode_payload(bytes(payload))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixels"].append(_nearest_resize(w, h, rgb, tw, th))
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=schema)

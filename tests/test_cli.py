@@ -30,3 +30,35 @@ def test_linkgraph_pipeline_end_to_end(spark, tmp_path):
     assert out["components"].converged
     assert out["labels"].converged
     assert out["triangles"].total >= 0
+
+
+def test_jobspec_roundtrip(tmp_path):
+    from pargraph_spark.plans.jobspec import JobSpec
+
+    spec = JobSpec(job="pagerank", operator="linkgraph.pagerank",
+                   params={"damping": 0.85, "tol": 1e-9},
+                   inputs={"pages": "/data/pages"}, outputs={"dir": "/out"})
+    p = str(tmp_path / "jobspec.json")
+    spec.save(p)
+    back = JobSpec.load(p)
+    assert back == spec
+    assert back.to_json() == spec.to_json()  # byte-stable (sorted keys)
+
+
+def test_plan_dot_and_json(spark):
+    from pargraph_spark.plans.jobspec import plan_dot, plan_json
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    tree = plan_json(df)
+    assert tree["node"]  # root exists
+    def count(t):
+        return 1 + sum(count(c) for c in t["children"])
+    n = count(tree)
+    assert n >= 3  # scan + partial agg + exchange(+final agg)
+
+    dot = plan_dot(df)
+    assert dot.startswith("digraph plan {") and dot.endswith("}")
+    assert dot.count(" -> ") == n - 1  # a tree: |E| = |V| - 1
+    assert "HashAggregate" in dot and "Range" in dot

@@ -65,15 +65,86 @@ def test_extract_binary_features(spark, media):
         assert f["head_hex"] == b[:8].hex()
 
 
-def test_decode_image_stub_raises_at_execution(spark, media):
+def test_decode_image_codec_formats_raise_without_pil(spark):
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL available; stub path not applicable")
+        pytest.skip("PIL available; raise path not applicable")
     except ImportError:
         pass
-    df = decode_image(media)  # plan construction must succeed
-    with pytest.raises(Exception, match="NotImplementedError|PIL|image decode"):
+    # a JPEG-magic payload is a codec format -> needs PIL
+    blob = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF-not-really"))], "id long, payload binary"
+    )
+    df = decode_image(to_media_table(blob, "id", "payload", kind="jpeg"))
+    with pytest.raises(Exception, match="NotImplementedError|PIL|codec"):
         df.collect()
+
+
+def _encode_bmp24(w, h, rgb):
+    """Independent test-side encoder: bottom-up 24-bit BI_RGB BMP."""
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b_ = rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            line += bytes((b_, g, r))  # BGR on disk
+        rows.append(bytes(line) + pad)
+    pixels = b"".join(rows)
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(pixels)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
+
+
+def _pattern_rgb(w, h):
+    return bytes(
+        c for y in range(h) for x in range(w)
+        for c in ((x * 7 + y) % 256, (x + y * 11) % 256, (x * y) % 256)
+    )
+
+
+def test_decode_bmp_exact_pixels(spark):
+    import numpy as np
+
+    w, h, tw, th = 10, 6, 4, 4
+    rgb = _pattern_rgb(w, h)
+    payload = _encode_bmp24(w, h, rgb)
+    blob = spark.createDataFrame([(7, bytearray(payload))], "id long, payload binary")
+    out = decode_image(to_media_table(blob, "id", "payload", kind="bmp"),
+                       target_size=(tw, th)).collect()[0]
+    assert (out["width"], out["height"]) == (w, h)
+    # independent expectation: numpy nearest-neighbor over the raw pattern
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    expected = a[ys][:, xs].tobytes()
+    assert bytes(out["pixels"]) == expected
+    assert hashlib.md5(bytes(out["pixels"])).hexdigest() == hashlib.md5(expected).hexdigest()
+
+
+def test_decode_ppm_exact_pixels(spark):
+    import numpy as np
+
+    w, h, tw, th = 5, 9, 3, 7
+    rgb = _pattern_rgb(w, h)
+    payload = b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb
+    blob = spark.createDataFrame([(3, bytearray(payload))], "id long, payload binary")
+    out = decode_image(to_media_table(blob, "id", "payload", kind="ppm"),
+                       target_size=(tw, th)).collect()[0]
+    assert (out["width"], out["height"]) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    assert bytes(out["pixels"]) == a[ys][:, xs].tobytes()
 
 
 def test_fake_decode_features_deterministic(spark, media):

@@ -300,6 +300,38 @@ def _near_dup_corpus(spark, sf):
     ).unionByName(pert)
 
 
+def _q_event_window_counts(spark, sf):
+    # timestamps formatted as strings for the cross-engine hash: pandas
+    # materializes Spark µs-timestamps as datetime64[ns] but DuckDB's as
+    # datetime64[us], which hash differently even for equal instants
+    from pargraph_spark.operators.events import windowed_event_counts
+
+    out = windowed_event_counts(_t(spark, sf, "events"), "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type", "n_events", "total_value6",
+    )
+
+
+def _q_event_sessionize(spark, sf):
+    from pargraph_spark.operators.events import sessionize
+
+    out = sessionize(_t(spark, sf, "events"), gap_minutes=30)
+    return out.select(
+        "user_id", "session_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events", "total_value6",
+    )
+
+
+def _q_event_props_stats(spark, sf):
+    from pargraph_spark.operators.events import props_stats
+
+    return props_stats(_t(spark, sf, "events"))
+
+
 def _q_embedding_near_dup_bucketed(spark, sf):
     out = cosine_near_dup_bucketed(
         _near_dup_corpus(spark, sf), threshold=0.9, dim=64,
@@ -333,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
+        "event_window_counts": _q_event_window_counts,
+        "event_sessionize": _q_event_sessionize,
+        "event_props_stats": _q_event_props_stats,
     }
 
 
@@ -709,4 +744,33 @@ WHERE d.dot / (na.nm * nb.nm) >= 0.4
 """,
         "ann_lsh": _ann_sql(),
         "embedding_near_dup_bucketed": _near_dup_bucketed_sql(),
+        # tumbling windows aligned to the epoch, exactly like F.window
+        "event_window_counts": (
+            "SELECT strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000), "
+            "'%Y-%m-%d %H:%M:%S') AS window_start, "
+            "strftime(make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 "
+            "+ 3600000000), '%Y-%m-%d %H:%M:%S') AS window_end, "
+            "event_type, count(*) AS n_events, "
+            "round(sum(value), 6) AS total_value6 "
+            "FROM events GROUP BY 1, 2, 3"
+        ),
+        "event_sessionize": (
+            "WITH s AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sid AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s) "
+            "SELECT user_id, session_id, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end, "
+            "count(*) AS n_events, "
+            "round(sum(value), 6) AS total_value6 FROM sid GROUP BY user_id, session_id"
+        ),
+        "event_props_stats": (
+            "SELECT event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
+            "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min, "
+            "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max "
+            "FROM events GROUP BY event_type"
+        ),
     }

@@ -92,7 +92,9 @@ def test_shingles_semantics(spark):
     got = {r["id"]: sorted(r["s"]) for r in df.select("id", shingles(F.col("text"), 3).alias("s")).collect()}
     assert got[1] == ["a b c", "b c d"]
     assert got[2] == ["a b"]
-    assert got[3] == [""]
+    # zero-token docs produce NO shingles (ADVICE r1): empty docs must not
+    # acquire minhash signatures and pair with each other in LSH
+    assert got[3] == []
 
 
 def test_bpe_token_count(spark):

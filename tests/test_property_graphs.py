@@ -76,3 +76,69 @@ def test_pagerank_matches_numpy(spark, edges):
     assert set(got) == set(oracle)
     for v in verts:
         assert math.isclose(got[v], oracle[v], abs_tol=1e-6), v
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_labelprop_matches_python_oracle(spark, edges):
+    from pargraph_spark.operators.labelprop import label_propagation
+
+    from .oracles import label_propagation_oracle
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    verts = sorted({v for e in edges for v in e})
+    res = label_propagation(
+        spark, spark.createDataFrame(edges, EDGE_SCHEMA),
+        max_iter=8, num_partitions=3,
+    )
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == label_propagation_oracle(edges, verts, max_iter=8)
+
+
+event_lists = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # user_id
+        st.integers(0, 10_000),       # offset seconds
+        st.integers(-100, 100),       # value scaled by /4 (exact quarters)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=event_lists)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_oracle(spark, rows):
+    from datetime import datetime, timedelta
+
+    from pargraph_spark.operators.events import sessionize
+
+    from .test_events import _py_sessionize
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (i, t0 + timedelta(seconds=sec), uid, "e", v / 4.0, "{}")
+        for i, (uid, sec, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value6"],
+        )
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    ref = _py_sessionize(
+        [{"user_id": u, "ts": ts, "event_id": e, "value": v}
+         for (e, ts, u, _t, v, _p) in data],
+        gap_minutes=30,
+    )
+    assert set(got) == set(ref)
+    for k, (start, end, n, total) in ref.items():
+        gs, ge, gn, gt = got[k]
+        assert (gs, ge, gn) == (start, end, n), k
+        assert abs(gt - total) < 1e-9, k

@@ -16,6 +16,13 @@ Float-determinism policy for oracle-checked queries: all hashes are md5
 float columns are either single IEEE divisions of exact ints (bit-identical
 across engines) or are rounded after double-exact per-element products so
 summation-order noise (~1e-15) sits far below the rounding granularity.
+Timestamps are string-formatted in contract outputs (pandas materializes
+Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
+
+All 26 queries carry exact oracles — including the iterative fixpoints
+(unrolled MATERIALIZED CTE chains), the LSH family (hyperplane sign
+literals baked into generated SQL so bucket assignment is reproduced
+engine-side), and the event suite (windows/sessions/JSON props).
 """
 
 from __future__ import annotations

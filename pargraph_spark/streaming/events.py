@@ -106,6 +106,12 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30,
             if len(pdf):
                 ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
                 rows += list(zip(ts_us, pdf["value"].tolist(), pdf["event_id"].tolist()))
+        if not rows:  # defensive: invoked without data nor timeout
+            return
+        # rows sort within the batch; a row that arrives in a LATER batch
+        # than a newer one (cross-batch disorder, still inside the
+        # watermark) merges into the open session by gap-vs-last — equal to
+        # batch sessionize for in-order feeds, the documented contract
         rows.sort(key=lambda r: (r[0], r[2]))
         if state.exists:
             start_us, last_us, n, total = state.get

@@ -126,3 +126,15 @@ def test_labelprop_edges_not_reexchanged_per_round(spark):
     assert "InMemoryTableScan" in prefix, plan
     assert "Exchange" not in prefix, plan
     sym.unpersist()
+
+
+def test_sessionize_single_exchange(spark):
+    # session aggregation must reuse the window's hash(user_id)
+    # partitioning: HashPartitioning(user_id) satisfies
+    # ClusteredDistribution(user_id, session_id), so the E-row event table
+    # shuffles exactly once
+    from pargraph_spark.operators.events import sessionize
+
+    events = em._t(spark, SF, "events")
+    plan = _plan(sessionize(events, gap_minutes=30))
+    assert plan.count("Exchange") == 1, plan

@@ -7,7 +7,10 @@ Two physical strategies behind one API:
   aggregation absorbs hub-dst skew in the sum. The simple, always-correct
   baseline.
 
-- mode="csr": the scale path mandated by BASELINE.json north_star — edges
+- mode="csr": the explicit-SpMV path (BENCH/BASELINE.md round-2 verdict:
+  dataframe is the faster-scaling default — 0.85 vs 0.73 at 2→8 cores —
+  so csr is the opt-in for memory-bound regimes where its per-block
+  map-side combine shrinks the message shuffle) — edges
   packed ONCE into per-partition CSR blocks (operators/csr.py), each
   superstep cogroups the rank vector with its block by pid and runs a
   partition-local numpy SpMV in an Arrow UDF, emitting messages pre-combined

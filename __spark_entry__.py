@@ -307,6 +307,38 @@ def _near_dup_corpus(spark, sf):
     ).unionByName(pert)
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _q_ann_ivf(spark, sf):
+    from pargraph_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                   num_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos6")
+    )
+
+
+def _q_docs_sample(spark, sf):
+    from pargraph_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.25, salt="s1"
+    ).select("doc_id")
+
+
+def _q_events_stratified(spark, sf):
+    from pargraph_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "events"), "event_type",
+        {"click": 0.5, "view": 0.1}, key_col="event_id", salt="s2",
+    ).select("event_id", "event_type")
+
+
 def _q_event_window_counts(spark, sf):
     # timestamps formatted as strings for the cross-engine hash: pandas
     # materializes Spark µs-timestamps as datetime64[ns] but DuckDB's as
@@ -375,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_counts": _q_event_window_counts,
         "event_sessionize": _q_event_sessionize,
         "event_props_stats": _q_event_props_stats,
+        "ann_ivf": _q_ann_ivf,
+        "docs_sample": _q_docs_sample,
+        "events_stratified": _q_events_stratified,
     }
 
 
@@ -631,7 +666,55 @@ WHERE d.dot / (na.nm * nb.nm) >= 0.9
 """
 
 
+def _ivf_sql() -> str:
+    """Mirrors ivf_topk(num_centroids=16, nprobe=2, queries vec_id<10, k=5):
+    seed centroids = the 16 smallest-id vectors, cosine argmax assignment
+    (ties → smaller centroid id), probe 2 cells, exact rerank."""
+    rank_cell = (
+        "SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY sim DESC, cent_id ASC) AS rn FROM csim"
+    )
+    return f"""
+WITH {_EMB_U_SQL},
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id),
+cent_ids AS MATERIALIZED (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+cdots AS MATERIALIZED (
+  SELECT a.vec_id, c.cent_id, sum(a.v * b.v) AS dot
+  FROM u a JOIN cent_ids c ON true
+  JOIN u b ON b.vec_id = c.cent_id AND b.i = a.i
+  GROUP BY a.vec_id, c.cent_id
+),
+csim AS MATERIALIZED (
+  SELECT d.vec_id, d.cent_id, d.dot / (na.nm * nb.nm) AS sim
+  FROM cdots d JOIN nrm na ON na.vec_id = d.vec_id
+  JOIN nrm nb ON nb.vec_id = d.cent_id
+),
+cells AS MATERIALIZED (SELECT vec_id AS neighbor_id, cent_id FROM ({rank_cell}) WHERE rn <= 1),
+probes AS MATERIALIZED (SELECT vec_id AS query_id, cent_id FROM ({rank_cell}) WHERE rn <= {IVF_NPROBE} AND vec_id < 10),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.query_id, ce.neighbor_id
+  FROM probes p JOIN cells ce ON ce.cent_id = p.cent_id AND ce.neighbor_id <> p.query_id
+),
+dots AS MATERIALIZED (
+  SELECT cd.query_id, cd.neighbor_id, sum(a.v * b.v) AS dot
+  FROM cand cd JOIN u a ON a.vec_id = cd.query_id
+  JOIN u b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+scored AS (
+  SELECT d.query_id, d.neighbor_id, d.dot / (na.nm * nb.nm) AS cos
+  FROM dots d JOIN nrm na ON na.vec_id = d.query_id
+  JOIN nrm nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, neighbor_id ASC) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from pargraph_spark.operators.sampling import fraction_threshold_hex as _fth
     return {
         "edge_build": f"WITH {E_SQL} SELECT src, dst FROM e",
         "degrees": (
@@ -779,5 +862,19 @@ WHERE d.dot / (na.nm * nb.nm) >= 0.4
             "CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min, "
             "CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max "
             "FROM events GROUP BY event_type"
+        ),
+        "ann_ivf": _ivf_sql(),
+        "docs_sample": (
+            "SELECT doc_id FROM documents "
+            "WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            f"< '{_fth(0.25)}'"
+        ),
+        "events_stratified": (
+            "SELECT event_id, event_type FROM events WHERE CASE "
+            "WHEN event_type = 'click' THEN "
+            f"substr(md5('s2:' || CAST(event_id AS VARCHAR)), 1, 8) < '{_fth(0.5)}' "
+            "WHEN event_type = 'view' THEN "
+            f"substr(md5('s2:' || CAST(event_id AS VARCHAR)), 1, 8) < '{_fth(0.1)}' "
+            f"ELSE substr(md5('s2:' || CAST(event_id AS VARCHAR)), 1, 8) < '{_fth(0.0)}' END"
         ),
     }

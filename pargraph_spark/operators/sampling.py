@@ -1,0 +1,68 @@
+"""Deterministic sampling for training-data curation.
+
+`df.sample()` is seed-and-partitioning dependent — rerunning on a
+repartitioned table keeps different rows, which poisons incremental
+pipelines and makes train/eval splits irreproducible. These operators
+sample by CONTENT: a row is kept iff the first 8 hex chars of
+md5(salt:key) compare below a threshold hex string, so
+
+- the decision is a pure function of (key, salt, fraction) — stable under
+  repartitioning, resume, engine (the DuckDB oracle is the identical
+  string comparison), and incremental re-runs (a row's fate never changes
+  as the table grows);
+- different salts give independent samples (train/val/test splits);
+- fractions are exact in expectation with md5 uniformity (first 8 hex
+  chars ≈ uniform 32-bit value).
+
+Everything is a JVM-side expression (md5 + substring + string compare):
+predicate-pushdown-friendly and zero-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """Hex threshold t such that P[substr(md5,1,8) < t] == fraction (to
+    2^-32): first 8 hex chars of md5 are uniform over [0, 16^8)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 16 ** 8), 16 ** 8 - 1), "08x")
+
+
+def keep_fraction(key: Column, fraction: float, salt: str = "") -> Column:
+    """Boolean keep-decision: content-hash threshold sampling."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")).cast("binary"))
+    return F.substring(h, 1, 8) < F.lit(fraction_threshold_hex(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    return df.where(keep_fraction(F.col(key_col), fraction, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance event types or
+    languages): stratum s keeps fractions[s] of its rows; strata not
+    listed keep default_fraction."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")).cast("binary")),
+        1, 8,
+    )
+    expr = F.when(F.lit(False), F.lit(False))
+    for stratum, frac in sorted(fractions.items()):
+        expr = expr.when(
+            F.col(strata_col) == stratum, h < F.lit(fraction_threshold_hex(frac))
+        )
+    expr = expr.otherwise(h < F.lit(fraction_threshold_hex(default_fraction)))
+    return df.where(expr)

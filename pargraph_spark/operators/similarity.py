@@ -344,3 +344,68 @@ def hyperplane_sign_bits(vec: Column, dim: int, num_planes: int = 8) -> Column:
         d = _dot(vec, plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-based ANN
+    family, complementing hyperplane LSH (lsh_ann_topk).
+
+    Deterministic seed centroids: the ``num_centroids`` corpus vectors with
+    the smallest ids (no RNG, no stored model — the DuckDB oracle
+    reproduces the model exactly). Every corpus vector is assigned to its
+    nearest centroid by cosine (ties → smaller centroid id); a query
+    probes its ``nprobe`` nearest centroid cells and exact-reranks only
+    those cells' members.
+
+    Scale shape: the centroid table is tiny and BROADCAST to both
+    assignment scans, so building the inverted file is one corpus scan +
+    one shuffle keyed by cell id; queries touch |corpus|·nprobe/C
+    candidates. At 10^9+ vectors the seed centroids would come from a
+    trained quantizer — the plan shape (broadcast model, cell-keyed
+    shuffle, per-cell rerank) is identical.
+    """
+    from pyspark.sql import Window
+
+    cent = corpus.orderBy(F.asc(id_col)).limit(num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df: DataFrame, idname: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(idname),
+            "cent_id",
+            cosine(F.col("_v"), F.col("cvec")).alias("_sim"),
+        )
+        w = Window.partitionBy(idname).orderBy(F.desc("_sim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .select(idname, "cent_id")
+        )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_v"))
+    cells = assign(c, "neighbor_id", 1)
+    probes = assign(q, "query_id", nprobe)
+    cand = (
+        cells.join(F.broadcast(probes), "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    return _rank_topk(scored, k)

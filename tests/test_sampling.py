@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pargraph_spark.operators.sampling import (
+    deterministic_sample,
+    fraction_threshold_hex,
+    keep_fraction,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(4000).select(F.col("id"))
+
+
+def _py_keep(key, fraction, salt=""):
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+    return h < fraction_threshold_hex(fraction)
+
+
+def test_matches_python_and_fraction(spark, ids):
+    got = {r["id"] for r in deterministic_sample(ids, "id", 0.25, "s1").collect()}
+    ref = {i for i in range(4000) if _py_keep(i, 0.25, "s1")}
+    assert got == ref
+    assert abs(len(got) / 4000 - 0.25) < 0.03  # md5 uniformity
+
+
+def test_invariant_under_repartitioning(spark, ids):
+    a = {r["id"] for r in deterministic_sample(ids.repartition(3), "id", 0.1, "x").collect()}
+    b = {r["id"] for r in deterministic_sample(ids.repartition(17, "id"), "id", 0.1, "x").collect()}
+    assert a == b
+
+
+def test_salts_give_independent_samples(spark, ids):
+    a = {r["id"] for r in deterministic_sample(ids, "id", 0.5, "train").collect()}
+    b = {r["id"] for r in deterministic_sample(ids, "id", 0.5, "val").collect()}
+    assert a != b
+    # independence: overlap ≈ 0.25 of the universe
+    assert abs(len(a & b) / 4000 - 0.25) < 0.05
+
+
+def test_nested_fractions_are_subsets(spark, ids):
+    # same salt: the kept set at a smaller fraction is a SUBSET of the kept
+    # set at a larger one (threshold semantics) — stable incremental growth
+    small = {r["id"] for r in deterministic_sample(ids, "id", 0.1, "s").collect()}
+    large = {r["id"] for r in deterministic_sample(ids, "id", 0.3, "s").collect()}
+    assert small <= large
+
+
+def test_stratified_per_stratum_fractions(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_sample(df, "s", {"a": 0.5, "b": 0.1}, key_col="id", salt="z")
+    got = out.groupBy("s").count().collect()
+    counts = {r["s"]: r["count"] for r in got}
+    assert abs(counts.get("a", 0) / 2000 - 0.5) < 0.05
+    assert abs(counts.get("b", 0) / 2000 - 0.1) < 0.03
+    assert "c" not in counts  # default fraction 0
+    # and the kept 'a' rows are exactly the keep_fraction set
+    ref = {
+        i for i in range(6000)
+        if i % 3 == 0 and _py_keep(i, 0.5, "z")
+    }
+    a_rows = {r["id"] for r in out.where("s = 'a'").collect()}
+    assert a_rows == ref

@@ -174,3 +174,27 @@ def test_partial_topk_plan_and_identity(spark, emb):
     got = {(r["query_id"], r["neighbor_id"], r["cos"]) for r in df.collect()}
     ref = {(r["query_id"], r["neighbor_id"], r["cos"]) for r in plain.collect()}
     assert got == ref  # byte-identical: cos is a float64 passthrough
+
+
+def test_ivf_topk_candidates_and_exact_scores(spark):
+    from pargraph_spark.operators.similarity import ivf_topk
+
+    emb01 = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet").cache()
+    queries = emb01.where(F.col("vec_id") < 50)
+    brute = cosine_topk(emb01, queries, k=K).collect()
+    ivf = ivf_topk(emb01, queries, k=K, num_centroids=16, nprobe=4).collect()
+    bmap = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in brute}
+    by_q: dict[int, int] = {}
+    for r in ivf:
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bmap:  # scores are the same exact expression
+            assert math.isclose(r["cos"], bmap[key], abs_tol=1e-12)
+    assert all(v <= K for v in by_q.values())
+    # nprobe=4 of 16 cells touches ~25% of a quasi-random corpus: recall
+    # floor is modest by design — IVF shines on clustered data
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.25, recall
+    emb01.unpersist()

@@ -309,6 +309,18 @@ def _near_dup_corpus(spark, sf):
 
 IVF_CENTROIDS = 16
 IVF_NPROBE = 2
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _q_kmeans_clusters(spark, sf):
+    from pargraph_spark.operators.clustering import kmeans_cosine
+
+    res = kmeans_cosine(_t(spark, sf, "embeddings"), k=KMEANS_K,
+                        iterations=KMEANS_ITERS)
+    return res.assignments.select(
+        F.col("id").alias("vec_id"), F.col("cluster").cast("long").alias("cluster")
+    )
 
 
 def _q_ann_ivf(spark, sf):
@@ -410,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "docs_sample": _q_docs_sample,
         "events_stratified": _q_events_stratified,
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 
@@ -713,6 +726,50 @@ WHERE rn <= 5
 """
 
 
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations mirroring operators.clustering (quantized
+    similarities and centroids at 12 decimals — float noise cannot flip an
+    assignment; empty clusters carry the previous centroid)."""
+    k, iters, q = KMEANS_K, KMEANS_ITERS, 12
+    parts = [
+        _EMB_U_SQL,
+        "vn AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM u GROUP BY vec_id)",
+        # cluster j = j-th smallest seed vec_id, components quantized
+        f"seeds AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        f"c0 AS MATERIALIZED (SELECT s.cl, u.i, round(u.v, {q}) AS x "
+        "FROM seeds s JOIN u ON u.vec_id = s.vec_id)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"cn{t} AS MATERIALIZED (SELECT cl, sqrt(sum(x * x)) AS nm FROM c{t} GROUP BY cl)"
+        )
+        parts.append(
+            f"dot{t} AS MATERIALIZED (SELECT u.vec_id, c.cl, sum(u.v * c.x) AS d "
+            f"FROM u JOIN c{t} c ON c.i = u.i GROUP BY u.vec_id, c.cl)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, cl FROM ("
+            f"SELECT d.vec_id, d.cl, row_number() OVER (PARTITION BY d.vec_id "
+            f"ORDER BY round(d.d / (v.nm * c.nm), {q}) DESC, d.cl ASC) AS rn "
+            f"FROM dot{t} d JOIN vn v ON v.vec_id = d.vec_id "
+            f"JOIN cn{t} c ON c.cl = d.cl) WHERE rn = 1)"
+        )
+        if t < iters - 1:
+            parts.append(
+                f"m{t} AS MATERIALIZED (SELECT a.cl, u.i, round(avg(u.v), {q}) AS x "
+                f"FROM a{t} a JOIN u ON u.vec_id = a.vec_id GROUP BY a.cl, u.i)"
+            )
+            parts.append(
+                f"c{t + 1} AS MATERIALIZED (SELECT p.cl, p.i, coalesce(m.x, p.x) AS x "
+                f"FROM c{t} p LEFT JOIN m{t} m ON m.cl = p.cl AND m.i = p.i)"
+            )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters - 1}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from pargraph_spark.operators.sampling import fraction_threshold_hex as _fth
     return {
@@ -864,6 +921,7 @@ WHERE d.dot / (na.nm * nb.nm) >= 0.4
             "FROM events GROUP BY event_type"
         ),
         "ann_ivf": _ivf_sql(),
+        "kmeans_clusters": _kmeans_sql(),
         "docs_sample": (
             "SELECT doc_id FROM documents "
             "WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8) "

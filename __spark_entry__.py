@@ -164,6 +164,24 @@ def _q_pagerank_5iter(spark, sf):
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
+PPR_SEED_CAP = 100  # seeds = graph vertices with id < cap
+
+
+def _q_ppr_5iter(spark, sf):
+    # personalized PageRank: teleport uniform over the seed set; fixed 5
+    # supersteps so the unrolled CTE oracle is exact
+    e = _co_edges(spark, sf)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") < PPR_SEED_CAP).withColumn("w", F.lit(1.0))
+    res = pagerank(spark, e, damping=DAMPING, tol=0.0, max_iter=5,
+                   teleport=seeds)
+    return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
+
+
 def _q_pagerank_30iter(spark, sf):
     # fixed 30-superstep run (tol=0): deterministic iteration count, so the
     # unrolled 30-level CTE oracle is exact — replaces the round-1
@@ -402,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_30iter": _q_pagerank_30iter,
+        "ppr_5iter": _q_ppr_5iter,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -460,6 +479,41 @@ def _pagerank_sql(iters: int) -> str:
             f"r{c} {m} (SELECT b.id, b.outdeg, "
             f"(1.0 - {DAMPING}) / (SELECT nv FROM n) + {DAMPING} * "
             f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM dang{c}) / (SELECT nv FROM n)) AS rank "
+            f"FROM r{p} b LEFT JOIN msg{c} msgv ON b.id = msgv.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled personalized-PageRank CTE chain (teleport uniform over
+    vertices with id < PPR_SEED_CAP), mirroring pagerank(teleport=seeds)."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        VERTS_SQL,
+        f"scnt {m} (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts WHERE id < {PPR_SEED_CAP})",
+        f"deg {m} (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src)",
+        f"base {m} (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg, "
+        f"CASE WHEN v.id < {PPR_SEED_CAP} THEN 1.0 / (SELECT c FROM scnt) ELSE 0.0 END AS tw "
+        "FROM verts v LEFT JOIN deg d ON v.id = d.id)",
+        f"r0 {m} (SELECT id, outdeg, tw, tw AS rank FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"dang{c} {m} (SELECT coalesce(sum(rank), 0.0) AS mass FROM r{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"msg{c} {m} (SELECT e.dst AS id, sum(r.rank / r.outdeg) AS msg "
+            f"FROM e JOIN r{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{c} {m} (SELECT b.id, b.outdeg, b.tw, "
+            f"(1.0 - {DAMPING}) * b.tw + {DAMPING} * "
+            f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM dang{c}) * b.tw) AS rank "
             f"FROM r{p} b LEFT JOIN msg{c} msgv ON b.id = msgv.id)"
         )
     return (
@@ -811,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_5iter": _pagerank_sql(5),
         "pagerank_30iter": _pagerank_sql(30),
+        "ppr_5iter": _ppr_sql(5),
         # cc_full: uncapped recursive min-label closure (the capped variant
         # exists as `connected_components` for cheap per-round checking)
         "cc_full": (

@@ -91,12 +91,21 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     check_every: int = 1,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """check_every: convergence-delta cadence. 1 (default) checks every
     superstep (2 Spark jobs/superstep); k>1 amortizes the delta aggregate
     (1 job/superstep otherwise) — iteration math is unchanged, only the
     stop check happens on multiples of k, so a run may overshoot the
-    fixpoint by at most k-1 (deterministic for a given k)."""
+    fixpoint by at most k-1 (deterministic for a given k).
+
+    teleport: optional (id, w) seed distribution → PERSONALIZED PageRank:
+        r_0(v)     = T(v)
+        r_{t+1}(v) = (1-d)·T(v) + d·(Σ_{u→v} r_t(u)/outdeg(u) + dang_t·T(v))
+    where T is `w` normalized over the vertices present (vertices absent
+    from `teleport` get T=0 and accrue rank only via incoming links;
+    dangling mass re-enters through T, the standard PPR formulation).
+    teleport=None is classic PageRank (T = 1/N everywhere)."""
     if mode not in ("dataframe", "csr"):
         raise ValueError(f"unknown mode {mode!r}")
     P = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
@@ -108,6 +117,22 @@ def pagerank(
 
     base = _vertex_base(edges, vertices).repartition(P, "id").persist()
     n = base.count()
+
+    def _with_teleport(df: DataFrame) -> DataFrame:
+        """Attach the teleport weight column _tw (pure function of the
+        teleport arg — identical on fresh runs and resumes)."""
+        if teleport is None:
+            return df.withColumn("_tw", F.lit(1.0 / n))
+        t = teleport.select(F.col("id"), F.col("w").cast("double").alias("_w"))
+        total = float(t.agg(F.sum("_w")).first()[0] or 0.0)
+        if total <= 0:
+            raise ValueError("teleport weights must sum to a positive value")
+        return (
+            df.join(F.broadcast(t), "id", "left")
+            .withColumn("_tw", F.coalesce(F.col("_w") / F.lit(total), F.lit(0.0)))
+            .drop("_w")
+        )
+
     if n == 0:
         edges.unpersist()
         base.unpersist()
@@ -135,9 +160,11 @@ def pagerank(
             ranks = ckpt.load(spark, m["superstep"]).repartition(P, "id")
             start_iter = int(m["superstep"])
     if ranks is None:
-        ranks = base.withColumn("rank", F.lit(1.0 / n)).withColumn(
+        ranks = _with_teleport(base).withColumn("rank", F.col("_tw")).withColumn(
             "_prev", F.lit(float("nan"))
         )
+    if "_tw" not in ranks.columns:  # resumed from a pre-teleport checkpoint
+        ranks = _with_teleport(ranks)
     if "_prev" not in ranks.columns:
         ranks = ranks.withColumn("_prev", F.lit(float("nan")))
     ranks = ranks.localCheckpoint(eager=True)
@@ -186,12 +213,13 @@ def pagerank(
             .select(
                 ranks["id"],
                 ranks["outdeg"],
+                ranks["_tw"],
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * ranks["_tw"]
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("msg"), F.lit(0.0))
-                        + F.col("_dang") / F.lit(float(n))
+                        + F.col("_dang") * ranks["_tw"]
                     )
                 ).alias("rank"),
                 ranks["rank"].alias("_prev"),

@@ -50,8 +50,29 @@ def write_bucketed_edges(
     )
 
 
-def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
-    return spark.table(table).select("src", "dst")
+def append_bucketed_edges(edges: DataFrame, table: str, num_buckets: int) -> None:
+    """Incremental maintenance: append a new edge drop INTO the bucket
+    layout (saveAsTable append validates the spec matches, so every file
+    in the table stays bucket-consistent — insertInto would silently write
+    unbucketed files and corrupt the layout). Duplicates across drops are
+    allowed; dedupe on read stays shuffle-free (see read_bucketed_edges)."""
+    (
+        edges.select("src", "dst")
+        .write.mode("append")
+        .bucketBy(num_buckets, "src")
+        .sortBy("src", "dst")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_edges(spark: SparkSession, table: str, dedupe: bool = False) -> DataFrame:
+    """dedupe=True collapses duplicate (src, dst) rows from overlapping
+    appended drops — WITHOUT a shuffle: HashPartitioning(src) from the
+    bucket layout satisfies ClusteredDistribution(src, dst), so the
+    distinct aggregates in place (plan-asserted in test_edgestore.py)."""
+    df = spark.table(table).select("src", "dst")
+    return df.distinct() if dedupe else df
 
 
 def degrees_from_store(spark: SparkSession, table: str) -> DataFrame:

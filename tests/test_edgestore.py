@@ -66,3 +66,36 @@ def test_degrees_from_store_no_shuffle_and_correct(spark, store):
         .groupBy("src").agg(F.count("*").alias("n")).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_append_preserves_layout_and_dedupe_is_shuffle_free(spark, tmp_path):
+    from pargraph_spark.sources.edgestore import append_bucketed_edges
+
+    drop1 = spark.createDataFrame([(i % 20, (i * 3) % 20) for i in range(300)],
+                                  "src long, dst long").where("src != dst").distinct()
+    drop2 = spark.createDataFrame([(i % 20, (i * 7) % 20) for i in range(300)],
+                                  "src long, dst long").where("src != dst").distinct()
+    path = str(tmp_path / "t2")
+    write_bucketed_edges(drop1, "edges_app", num_buckets=4, path=path)
+    append_bucketed_edges(drop2, "edges_app", num_buckets=4)
+    try:
+        # layout preserved: the bucket-key join is still exchange-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        edges = read_bucketed_edges(spark, "edges_app", dedupe=True)
+        ranks = spark.range(20).select(F.col("id"), (F.col("id") * 1.0).alias("r"))
+        plan = _plan(edges.join(ranks, edges["src"] == ranks["id"]))
+        prefix = plan.split("FileScan", 1)[0]
+        assert "Exchange" not in prefix, plan
+        # dedupe itself added no shuffle either
+        dplan = _plan(edges)
+        assert "Exchange" not in dplan, dplan
+        # content = set union of the drops
+        got = {(r["src"], r["dst"]) for r in edges.collect()}
+        ref = {(r["src"], r["dst"]) for r in drop1.collect()} | {
+            (r["src"], r["dst"]) for r in drop2.collect()
+        }
+        assert got == ref
+        assert edges.count() == len(ref)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS edges_app")

@@ -104,3 +104,40 @@ def test_isolated_vertices_and_empty(spark):
         spark, spark.createDataFrame([], EDGE_SCHEMA), num_partitions=2
     )
     assert empty.ranks.count() == 0 and empty.converged
+
+
+def test_personalized_pagerank_matches_python(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 1)]
+    verts = sorted({v for e in edges for v in e})
+    seeds = [1, 2]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s, 1.0) for s in seeds], "id long, w double")
+    res = pagerank(spark, edf, damping=0.85, tol=0.0, max_iter=12,
+                   num_partitions=4, teleport=sdf)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+    # pure-python PPR with identical semantics
+    tw = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    outdeg = {v: 0 for v in verts}
+    for s, _d in edges:
+        outdeg[s] += 1
+    r = dict(tw)
+    for _ in range(12):
+        dang = sum(r[v] for v in verts if outdeg[v] == 0)
+        msg = {v: 0.0 for v in verts}
+        for s, d in edges:
+            msg[d] += r[s] / outdeg[s]
+        r = {v: 0.15 * tw[v] + 0.85 * (msg[v] + dang * tw[v]) for v in verts}
+    assert set(got) == set(r)
+    for v in verts:
+        assert math.isclose(got[v], r[v], abs_tol=1e-12), v
+    # PPR conserves mass and concentrates rank near the seeds
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+    uniform = pagerank(spark, edf, damping=0.85, tol=0.0, max_iter=12,
+                       num_partitions=4)
+    gu = {x["id"]: x["rank"] for x in uniform.ranks.collect()}
+    assert got[1] + got[2] > gu[1] + gu[2]

@@ -182,6 +182,31 @@ def _q_ppr_5iter(spark, sf):
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
+def _q_hits_5iter(spark, sf):
+    # scores are already 2^-30-grid-quantized — emitted as-is (a decimal
+    # re-round would reintroduce the midpoint pathology, see operators.hits)
+    from pargraph_spark.operators.hits import hits
+
+    res = hits(spark, _co_edges(spark, sf), iterations=5)
+    return res.scores.select("id", "hub", "authority")
+
+
+def _q_graph_stats(spark, sf):
+    e = _co_edges(spark, sf)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.max("d").alias("max_degree"),
+        F.round(F.avg("d"), 6).alias("avg_degree6"),
+    )
+
+
 def _q_pagerank_30iter(spark, sf):
     # fixed 30-superstep run (tol=0): deterministic iteration count, so the
     # unrolled 30-level CTE oracle is exact — replaces the round-1
@@ -421,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_30iter": _q_pagerank_30iter,
         "ppr_5iter": _q_ppr_5iter,
+        "hits_5iter": _q_hits_5iter,
+        "graph_stats": _q_graph_stats,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -519,6 +546,61 @@ def _ppr_sql(iters: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS power iterations mirroring operators.hits (L1
+    normalization quantized to the 2^-30 binary grid each half-step;
+    exact power-of-two scaling keeps the grid values bit-identical
+    across engines — decimal round() is not midpoint-safe)."""
+    m = "AS MATERIALIZED"
+    g = float(1 << 30)
+
+    def quant(expr: str) -> str:
+        return f"round(({expr}) * {g}) / {g}"
+
+    parts = [
+        E_SQL,
+        VERTS_SQL,
+        f"n {m} (SELECT CAST(count(*) AS DOUBLE) AS nv FROM verts)",
+        f"h0 {m} (SELECT id, {quant('1.0 / (SELECT nv FROM n)')} AS hub FROM verts)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} {m} (SELECT e.dst AS id, sum(h.hub) AS x "
+            f"FROM e JOIN h{t} h ON e.src = h.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"af{t} {m} (SELECT v.id, coalesce(a.x, 0.0) AS x "
+            f"FROM verts v LEFT JOIN ar{t} a ON v.id = a.id)"
+        )
+        parts.append(f"at{t} {m} (SELECT sum(x) AS t FROM af{t})")
+        parts.append(
+            f"a{t} {m} (SELECT id, "
+            + quant(f"CASE WHEN (SELECT t FROM at{t}) > 0 "
+                    f"THEN x / (SELECT t FROM at{t}) ELSE 0.0 END")
+            + f" AS authority FROM af{t})"
+        )
+        parts.append(
+            f"hr{t} {m} (SELECT e.src AS id, sum(a.authority) AS x "
+            f"FROM e JOIN a{t} a ON e.dst = a.id GROUP BY e.src)"
+        )
+        parts.append(
+            f"hf{t} {m} (SELECT v.id, coalesce(h.x, 0.0) AS x "
+            f"FROM verts v LEFT JOIN hr{t} h ON v.id = h.id)"
+        )
+        parts.append(f"ht{t} {m} (SELECT sum(x) AS t FROM hf{t})")
+        parts.append(
+            f"h{t + 1} {m} (SELECT id, "
+            + quant(f"CASE WHEN (SELECT t FROM ht{t}) > 0 "
+                    f"THEN x / (SELECT t FROM ht{t}) ELSE 0.0 END")
+            + f" AS hub FROM hf{t})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT h.id, h.hub, a.authority "
+        f"FROM h{iters} h JOIN a{iters - 1} a ON a.id = h.id"
     )
 
 
@@ -866,6 +948,16 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _pagerank_sql(5),
         "pagerank_30iter": _pagerank_sql(30),
         "ppr_5iter": _ppr_sql(5),
+        "hits_5iter": _hits_sql(5),
+        "graph_stats": (
+            f"WITH {E_SQL}, "
+            "deg AS (SELECT id, count(*) AS d FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
+            "CAST(sum(d) / 2 AS BIGINT) AS n_edges, "
+            "CAST(max(d) AS BIGINT) AS max_degree, "
+            "round(avg(d), 6) AS avg_degree6 FROM deg"
+        ),
         # cc_full: uncapped recursive min-label closure (the capped variant
         # exists as `connected_components` for cheap per-round checking)
         "cc_full": (

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pargraph_spark.operators.hits import GRID, hits
+
+
+def _py_hits(edges, iterations):
+    """Independent reference of the pinned (grid-quantized) algorithm."""
+    verts = sorted({v for e in edges for v in e})
+    q = lambda x: round(x * GRID) / GRID  # noqa: E731
+
+    def norm_quant(vec):
+        t = sum(vec.values())
+        return {v: (q(vec[v] / t) if t > 0 else 0.0) for v in vec}
+
+    h = {v: q(1.0 / len(verts)) for v in verts}
+    a = None
+    for _ in range(iterations):
+        raw_a = {v: 0.0 for v in verts}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        a = norm_quant(raw_a)
+        raw_h = {v: 0.0 for v in verts}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        h = norm_quant(raw_h)
+    return h, a
+
+
+@pytest.mark.parametrize("iterations", [1, 4])
+def test_hits_matches_python(spark, iterations):
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (4, 2), (5, 1), (3, 5)]
+    res = hits(spark, spark.createDataFrame(edges, "src long, dst long"),
+               iterations=iterations, num_partitions=4)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in res.scores.collect()}
+    rh, ra = _py_hits(edges, iterations)
+    assert set(got) == set(rh)
+    for v in rh:
+        assert math.isclose(got[v][0], rh[v], abs_tol=1e-9), v
+        assert math.isclose(got[v][1], ra[v], abs_tol=1e-9), v
+    # L1 normalized
+    assert math.isclose(sum(x for x, _ in got.values()), 1.0, abs_tol=1e-6)
+    assert math.isclose(sum(y for _, y in got.values()), 1.0, abs_tol=1e-6)
+    # vertex 3 has the most in-links from good hubs -> top authority
+    assert max(got, key=lambda v: got[v][1]) == 3

@@ -19,9 +19,10 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 26 queries carry exact oracles — including the iterative fixpoints
-(unrolled MATERIALIZED CTE chains), the LSH family (hyperplane sign
-literals baked into generated SQL so bucket assignment is reproduced
+All 34 queries carry exact oracles — including the iterative fixpoints
+(unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC),
+the LSH/IVF families (hyperplane sign literals and seed-centroid models
+baked into generated SQL so bucket/cell assignment is reproduced
 engine-side), and the event suite (windows/sessions/JSON props).
 """
 
@@ -295,6 +296,16 @@ def _q_winnow_fingerprints(spark, sf):
     return winnow_fingerprints(_t(spark, sf, "documents"), "doc_id", "text", k=8, w=4)
 
 
+def _q_winnow_pairs(spark, sf):
+    from pargraph_spark.operators.dedup import winnow_pairs
+
+    # min_shared=30: the shared-vocab synthetic corpus makes low
+    # thresholds degenerate (87% of all pairs at >=2) — 30 keeps the
+    # candidate set selective (~0.2% of pairs at sf0.01)
+    return winnow_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                        k=8, w=4, min_shared=30)
+
+
 def _q_embedding_near_dup(spark, sf):
     from pargraph_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -460,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "regex_token_count": _q_regex_token_count,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_pairs": _q_winnow_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "event_window_counts": _q_event_window_counts,
@@ -1019,6 +1031,17 @@ def oracle_sql() -> dict[str, str]:
             "wn AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] "
             "ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)] END AS ws FROM h) "
             "SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn"
+        ),
+        "winnow_pairs": (
+            f"WITH {DOCS_NORM_SQL}, "
+            "h AS MATERIALIZED (SELECT doc_id, CASE WHEN length(n) < 8 THEN [md5(n)] "
+            "ELSE [md5(n[i:i+7]) for i in range(1, length(n) - 8 + 2)] END AS hs FROM t), "
+            "wn AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] "
+            "ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)] END AS ws FROM h), "
+            "wf AS MATERIALIZED (SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn) "
+            "SELECT l.id AS a, r.id AS b, count(*) AS shared "
+            "FROM wf l JOIN wf r ON l.wfp = r.wfp AND l.id < r.id "
+            "GROUP BY l.id, r.id HAVING count(*) >= 30"
         ),
         "embedding_near_dup": """
 WITH u AS MATERIALIZED (

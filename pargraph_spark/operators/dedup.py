@@ -159,6 +159,34 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Containment/clone detection: (a < b, shared) doc pairs sharing at
+    least ``min_shared`` winnowing fingerprints. Winnowing guarantees any
+    common substring of length ≥ k+w-1 contributes a shared fingerprint
+    (Schleimer et al., SIGMOD'03 §4), so this catches copied PASSAGES that
+    whole-document minhash dilutes. Same bucketed-join shape as LSH:
+    only (wfp, id) rows shuffle; grouping by pair bounds the join fan-out
+    by per-fingerprint posting-list sizes (cap hot fingerprints upstream
+    if a boilerplate string appears in every doc)."""
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    left = fp.select(F.col("id").alias("a"), "wfp")
+    right = fp.select(F.col("id").alias("b"), "wfp")
+    return (
+        left.join(right, "wfp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

@@ -168,6 +168,25 @@ def _q_pagerank_5iter(spark, sf):
 PPR_SEED_CAP = 100  # seeds = graph vertices with id < cap
 
 
+def _co_wedges(spark, sf):
+    """Weighted link graph: co-occurrence multiplicity as edge weight."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def _q_wpagerank_5iter(spark, sf):
+    res = pagerank(spark, _co_wedges(spark, sf), damping=DAMPING, tol=0.0,
+                   max_iter=5, weight_col="w")
+    return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
+
+
 def _q_ppr_5iter(spark, sf):
     # personalized PageRank: teleport uniform over the seed set; fixed 5
     # supersteps so the unrolled CTE oracle is exact
@@ -457,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_30iter": _q_pagerank_30iter,
         "ppr_5iter": _q_ppr_5iter,
+        "wpagerank_5iter": _q_wpagerank_5iter,
         "hits_5iter": _q_hits_5iter,
         "graph_stats": _q_graph_stats,
         "cc_full": _q_cc_full,
@@ -553,6 +573,43 @@ def _ppr_sql(iters: int) -> str:
             f"r{c} {m} (SELECT b.id, b.outdeg, b.tw, "
             f"(1.0 - {DAMPING}) * b.tw + {DAMPING} * "
             f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM dang{c}) * b.tw) AS rank "
+            f"FROM r{p} b LEFT JOIN msg{c} msgv ON b.id = msgv.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _wpagerank_sql(iters: int) -> str:
+    """Unrolled WEIGHTED PageRank mirroring pagerank(weight_col='w') over
+    the co-occurrence-multiplicity graph: sources split rank by w/W(u)."""
+    m = "AS MATERIALIZED"
+    parts = [
+        "we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey)",
+        f"verts {m} (SELECT src AS id FROM we UNION SELECT dst AS id FROM we)",
+        f"n {m} (SELECT CAST(count(*) AS DOUBLE) AS nv FROM verts)",
+        f"deg {m} (SELECT src AS id, sum(w) AS outdeg FROM we GROUP BY src)",
+        f"base {m} (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg FROM verts v "
+        "LEFT JOIN deg d ON v.id = d.id)",
+        f"r0 {m} (SELECT id, outdeg, 1.0 / (SELECT nv FROM n) AS rank FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"dang{c} {m} (SELECT coalesce(sum(rank), 0.0) AS mass FROM r{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"msg{c} {m} (SELECT e.dst AS id, sum((r.rank / r.outdeg) * e.w) AS msg "
+            f"FROM we e JOIN r{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{c} {m} (SELECT b.id, b.outdeg, "
+            f"(1.0 - {DAMPING}) * (1.0 / (SELECT nv FROM n)) + {DAMPING} * "
+            f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM dang{c}) * (1.0 / (SELECT nv FROM n))) AS rank "
             f"FROM r{p} b LEFT JOIN msg{c} msgv ON b.id = msgv.id)"
         )
     return (
@@ -960,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _pagerank_sql(5),
         "pagerank_30iter": _pagerank_sql(30),
         "ppr_5iter": _ppr_sql(5),
+        "wpagerank_5iter": _wpagerank_sql(5),
         "hits_5iter": _hits_sql(5),
         "graph_stats": (
             f"WITH {E_SQL}, "

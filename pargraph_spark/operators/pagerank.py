@@ -62,8 +62,11 @@ class PageRankResult:
     deltas: list[float] = field(default_factory=list)
 
 
-def _vertex_base(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
-    """(id, outdeg) for every vertex; outdeg=0 for dangling."""
+def _vertex_base(
+    edges: DataFrame, vertices: DataFrame | None, weighted: bool = False
+) -> DataFrame:
+    """(id, outdeg) for every vertex; outdeg=0 for dangling. Weighted
+    graphs use total out-WEIGHT as outdeg (the message denominator)."""
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("id"))
@@ -72,7 +75,8 @@ def _vertex_base(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
         )
     else:
         vertices = vertices.select("id")
-    od = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    agg = F.sum("w") if weighted else F.count("*")
+    od = edges.groupBy(F.col("src").alias("id")).agg(agg.alias("outdeg"))
     return vertices.join(od, "id", "left").select(
         "id", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
     )
@@ -92,6 +96,7 @@ def pagerank(
     resume: bool = False,
     check_every: int = 1,
     teleport: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """check_every: convergence-delta cadence. 1 (default) checks every
     superstep (2 Spark jobs/superstep); k>1 amortizes the delta aggregate
@@ -105,17 +110,34 @@ def pagerank(
     where T is `w` normalized over the vertices present (vertices absent
     from `teleport` get T=0 and accrue rank only via incoming links;
     dangling mass re-enters through T, the standard PPR formulation).
-    teleport=None is classic PageRank (T = 1/N everywhere)."""
+    teleport=None is classic PageRank (T = 1/N everywhere).
+
+    weight_col: optional edge-weight column → WEIGHTED PageRank: a source
+    splits its rank proportionally to edge weight, r(u)·w(u,v)/W(u) with
+    W(u) = Σ_out w (duplicate (src,dst) rows combine by summing weights).
+    dataframe mode only (csr packs unweighted adjacency)."""
     if mode not in ("dataframe", "csr"):
         raise ValueError(f"unknown mode {mode!r}")
+    if weight_col is not None and mode == "csr":
+        raise NotImplementedError("weighted PageRank: use mode='dataframe'")
     P = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
     P = int(P)
 
-    edges = edges.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    edges = edges.where(F.col("src") != F.col("dst"))
+    if weight_col is None:
+        edges = edges.dropDuplicates(["src", "dst"])
+    else:
+        edges = (
+            edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     edges = edges.repartition(P, "src").persist()
     n_edges = edges.count()
 
-    base = _vertex_base(edges, vertices).repartition(P, "id").persist()
+    base = _vertex_base(
+        edges, vertices, weighted=weight_col is not None
+    ).repartition(P, "id").persist()
     n = base.count()
 
     def _with_teleport(df: DataFrame) -> DataFrame:
@@ -181,15 +203,18 @@ def pagerank(
         it += 1
         t0 = time.monotonic()
         if mode == "dataframe":
+            contrib = (
+                F.col("_rw") * edges["w"] if weight_col is not None else F.col("_rw")
+            )
             msgs = (
                 edges.join(
                     ranks.where(F.col("outdeg") > 0).select(
-                        F.col("id"), (F.col("rank") / F.col("outdeg")).alias("w")
+                        F.col("id"), (F.col("rank") / F.col("outdeg")).alias("_rw")
                     ),
                     edges["src"] == F.col("id"),
                 )
                 .groupBy("dst")
-                .agg(F.sum("w").alias("msg"))
+                .agg(F.sum(contrib).alias("msg"))
             )
         else:
             rank_g = with_pid(ranks.select("id", "rank"), "id", P)

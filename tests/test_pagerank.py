@@ -141,3 +141,43 @@ def test_personalized_pagerank_matches_python(spark):
                        num_partitions=4)
     gu = {x["id"]: x["rank"] for x in uniform.ranks.collect()}
     assert got[1] + got[2] > gu[1] + gu[2]
+
+
+def test_weighted_pagerank_matches_python(spark):
+    import math
+
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 5.0)]
+    verts = sorted({v for s, d, _ in edges for v in (s, d)})
+    edf = spark.createDataFrame(edges, "src long, dst long, w double")
+    res = pagerank(spark, edf, damping=0.85, tol=0.0, max_iter=10,
+                   num_partitions=4, weight_col="w")
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+    outw = {v: 0.0 for v in verts}
+    for s, _d, w in edges:
+        outw[s] += w
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(10):
+        dang = sum(r[v] for v in verts if outw[v] == 0)
+        msg = {v: 0.0 for v in verts}
+        for s, d, w in edges:
+            msg[d] += (r[s] / outw[s]) * w
+        r = {v: 0.15 * (1.0 / n) + 0.85 * (msg[v] + dang * (1.0 / n)) for v in verts}
+    for v in verts:
+        assert math.isclose(got[v], r[v], abs_tol=1e-12), v
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+    # duplicate edges combine by summing weights
+    dup = spark.createDataFrame(edges + [(1, 2, 1.0)], "src long, dst long, w double")
+    res2 = pagerank(spark, dup, damping=0.85, tol=0.0, max_iter=10,
+                    num_partitions=4, weight_col="w")
+    merged = spark.createDataFrame(
+        [(1, 2, 4.0)] + [e for e in edges if (e[0], e[1]) != (1, 2)],
+        "src long, dst long, w double",
+    )
+    res3 = pagerank(spark, merged, damping=0.85, tol=0.0, max_iter=10,
+                    num_partitions=4, weight_col="w")
+    g2 = {r["id"]: r["rank"] for r in res2.ranks.collect()}
+    g3 = {r["id"]: r["rank"] for r in res3.ranks.collect()}
+    for v in verts:
+        assert math.isclose(g2[v], g3[v], abs_tol=1e-12), v

@@ -19,7 +19,7 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 35 queries carry exact oracles — including the iterative fixpoints
+All 36 queries carry exact oracles — including the iterative fixpoints
 (unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC),
 the LSH/IVF families (hyperplane sign literals and seed-centroid models
 baked into generated SQL so bucket/cell assignment is reproduced
@@ -200,6 +200,20 @@ def _q_ppr_5iter(spark, sf):
     res = pagerank(spark, e, damping=DAMPING, tol=0.0, max_iter=5,
                    teleport=seeds)
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
+
+
+def _q_bfs_4hops(spark, sf):
+    from pargraph_spark.operators.bfs import bfs_distances
+
+    e = _co_edges(spark, sf)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") < 10)
+    )
+    res = bfs_distances(spark, e, seeds, max_hops=4, symmetric=True)
+    return res.distances.select("id", F.col("dist").cast("long").alias("dist"))
 
 
 def _q_hits_5iter(spark, sf):
@@ -479,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpagerank_5iter": _q_wpagerank_5iter,
         "hits_5iter": _q_hits_5iter,
         "graph_stats": _q_graph_stats,
+        "bfs_4hops": _q_bfs_4hops,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -1019,6 +1034,18 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(5),
         "wpagerank_5iter": _wpagerank_sql(5),
         "hits_5iter": _hits_sql(5),
+        "bfs_4hops": (
+            f"WITH {E_SQL}, {SYM_SQL}, {VERTS_SQL}, "
+            "d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts WHERE id < 10), "
+            + ", ".join(
+                f"d{h} AS MATERIALIZED (SELECT * FROM d{h - 1} UNION ALL "
+                f"SELECT DISTINCT s.v AS id, {h} AS dist FROM sym s "
+                f"JOIN d{h - 1} f ON s.u = f.id AND f.dist = {h - 1} "
+                f"WHERE s.v NOT IN (SELECT id FROM d{h - 1}))"
+                for h in range(1, 5)
+            )
+            + " SELECT id, CAST(dist AS BIGINT) AS dist FROM d4"
+        ),
         "graph_stats": (
             f"WITH {E_SQL}, "
             "deg AS (SELECT id, count(*) AS d FROM "

@@ -69,9 +69,13 @@ def kmeans_cosine(
     vec_col: str = "embedding",
 ) -> KMeansResult:
     """Fixed-iteration Lloyd's k-means under cosine similarity."""
+    if k < 1:
+        raise ValueError(f"kmeans_cosine requires k >= 1, got {k}")
     seed_rows = (
         corpus.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_cosine requires a non-empty corpus")
     C = np.round(
         np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64), QUANT
     )
@@ -90,10 +94,8 @@ def kmeans_cosine(
             .collect()
         )
         newC = C.copy()  # empty clusters keep previous centroid
-        touched = set()
         for r in comp:
             newC[r["cluster"], r["pos"]] = r["m"]
-            touched.add(r["cluster"])
         C = newC
     return KMeansResult(assign, C, iterations)
 

@@ -113,6 +113,11 @@ def spmv_messages(rank_pdfs: Iterable[pd.DataFrame], block_pdfs: Iterable[pd.Dat
             sums = np.bincount(inv, weights=per_edge)
             out_dst.append(uniq)
             out_msg.append(sums)
+    if not out_dst:
+        # every block row of this pid was masked away (explicit-vertices
+        # scenario: all srcs absent from the rank vector) — np.concatenate
+        # on an empty list would raise (ADVICE r2)
+        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")})
     dst = np.concatenate(out_dst)
     msg = np.concatenate(out_msg)
     if len(out_dst) > 1:  # combine across multiple block rows of one pid

@@ -51,6 +51,8 @@ def hits(
     iterations: int = 5,
     num_partitions: int | None = None,
 ) -> HitsResult:
+    if iterations < 1:
+        raise ValueError(f"hits requires iterations >= 1, got {iterations}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         edges.where(F.col("src") != F.col("dst"))

@@ -146,6 +146,10 @@ def pagerank(
         if teleport is None:
             return df.withColumn("_tw", F.lit(1.0 / n))
         t = teleport.select(F.col("id"), F.col("w").cast("double").alias("_w"))
+        # Normalize over teleport ids PRESENT IN THE GRAPH only: weights on
+        # unknown ids would otherwise shrink ΣT below 1 and leak rank mass
+        # every iteration (ADVICE r2). `base` holds the full vertex set.
+        t = t.join(base.select("id"), "id", "left_semi")
         total = float(t.agg(F.sum("_w")).first()[0] or 0.0)
         if total <= 0:
             raise ValueError("teleport weights must sum to a positive value")
@@ -264,7 +268,10 @@ def pagerank(
             deltas.append(delta)
         metrics.add(SuperstepMetric(it, wall_ms, n_edges, delta))
         if ckpt and (it % checkpoint_every == 0):
-            ckpt.save(ranks, it, {"delta": delta, "damping": damping,
+            # unmeasured deltas (check_every > 1) are NaN — json.dump would
+            # emit non-standard `NaN` that strict parsers reject (ADVICE r2)
+            ckpt.save(ranks, it, {"delta": None if delta != delta else delta,
+                                  "damping": damping,
                                   "n_vertices": n, "n_edges": n_edges})
         if delta == delta and delta < tol:  # NaN-safe
             converged = True

@@ -56,6 +56,12 @@ class CheckpointManager:
             .agg(F.count("*").alias("rows"))
             .collect()
         ]
+        # NaN/Inf have no JSON encoding — json.dump would emit non-standard
+        # literals that strict parsers reject; store None instead (ADVICE r2)
+        extra = {
+            k: (None if isinstance(v, float) and not (v == v and abs(v) != float("inf")) else v)
+            for k, v in (extra or {}).items()
+        }
         manifest = {
             "job": os.path.basename(self.dir),
             "superstep": superstep,
@@ -64,11 +70,11 @@ class CheckpointManager:
             "partitions": sorted(parts, key=lambda p: p["pid"]),
             "rows": sum(p["rows"] for p in parts),
             "wallclock_ms": int((time.monotonic() - t0) * 1000),
-            **(extra or {}),
+            **extra,
         }
         tmp = self._manifest_path(superstep) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
+            json.dump(manifest, f, indent=2, sort_keys=True, allow_nan=False)
         os.replace(tmp, self._manifest_path(superstep))  # commit point
         return manifest
 

@@ -119,3 +119,26 @@ def test_resave_same_superstep_never_overwrites_committed_state(spark, tmp_path)
     assert ckpt.load(spark, 7).count() == 9  # manifest points at the new state
     # the first state dir is still intact (no destructive overwrite)
     assert spark.read.parquet(first_path).count() == 5
+
+
+def test_manifest_json_strict_when_delta_unmeasured(spark, tmp_path):
+    # ADVICE r2: with check_every > 1 the periodic save lands on supersteps
+    # without a measured delta; the manifest must stay strict JSON (no NaN)
+    import glob
+
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    pagerank(spark, edf, num_partitions=4, max_iter=4, tol=0.0,
+             checkpoint_dir=str(tmp_path), checkpoint_every=3, check_every=4)
+    files = glob.glob(os.path.join(str(tmp_path), "pagerank", "manifest_*.json"))
+    assert files
+    for p in files:
+        with open(p) as f:
+            text = f.read()
+        assert "NaN" not in text
+
+        def _reject(s):
+            raise ValueError(f"non-standard JSON literal {s}")
+
+        m = json.loads(text, parse_constant=_reject)
+        assert "delta" in m

@@ -59,3 +59,12 @@ def test_kmeans_partition_invariant(spark, emb):
         for r in kmeans_cosine(emb.repartition(11, "vec_id"), k=4, iterations=2).assignments.collect()
     }
     assert a == b
+
+
+def test_kmeans_validates_inputs(spark, emb):
+    # ADVICE r2: k < 1 and empty corpus used to die with opaque IndexError
+    with pytest.raises(ValueError, match="k >= 1"):
+        kmeans_cosine(emb, k=0)
+    empty = emb.where("vec_id < 0")
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_cosine(empty, k=2)

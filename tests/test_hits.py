@@ -46,3 +46,10 @@ def test_hits_matches_python(spark, iterations):
     assert math.isclose(sum(y for _, y in got.values()), 1.0, abs_tol=1e-6)
     # vertex 3 has the most in-links from good hubs -> top authority
     assert max(got, key=lambda v: got[v][1]) == 3
+
+
+def test_hits_rejects_zero_iterations(spark):
+    # ADVICE r2: iterations=0 used to crash opaquely at h.join(a, ...)
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(spark, edf, iterations=0)

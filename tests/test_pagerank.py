@@ -181,3 +181,38 @@ def test_weighted_pagerank_matches_python(spark):
     g3 = {r["id"]: r["rank"] for r in res3.ranks.collect()}
     for v in verts:
         assert math.isclose(g2[v], g3[v], abs_tol=1e-12), v
+
+
+def test_ppr_unknown_teleport_id_keeps_mass(spark):
+    # ADVICE r2: teleport weight on an id absent from the graph must not
+    # leak rank mass — normalization intersects with the vertex set first
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edf = spark.createDataFrame(edges, EDGE_SCHEMA)
+    seeds = spark.createDataFrame([(0, 1.0), (999, 5.0)], "id long, w double")
+    res = pagerank(spark, edf, teleport=seeds, num_partitions=4,
+                   max_iter=30, tol=1e-10)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    seeds2 = spark.createDataFrame([(0, 1.0)], "id long, w double")
+    res2 = pagerank(spark, edf, teleport=seeds2, num_partitions=4,
+                    max_iter=30, tol=1e-10)
+    got2 = {r["id"]: r["rank"] for r in res2.ranks.collect()}
+    for v in got:
+        assert math.isclose(got[v], got2[v], abs_tol=1e-9), v
+
+
+def test_spmv_all_masked_srcs_returns_empty():
+    # ADVICE r2: a pid whose every block src is absent from the rank vector
+    # must yield an empty frame, not crash np.concatenate([])
+    import pandas as pd
+
+    from pargraph_spark.operators.csr import spmv_messages
+
+    block = pd.DataFrame(
+        {"pid": [0], "srcs": [[1, 2]], "indptr": [[0, 1, 2]], "dsts": [[3, 4]]}
+    )
+    ranks = pd.DataFrame({"id": [7, 8], "rank": [0.5, 0.5]})
+    out = spmv_messages([ranks], [block])
+    assert out.empty
+    assert list(out.columns) == ["dst", "msg"]

@@ -901,8 +901,9 @@ WHERE d.dot / (na.nm * nb.nm) >= 0.9
 
 def _ivf_sql() -> str:
     """Mirrors ivf_topk(num_centroids=16, nprobe=2, queries vec_id<10, k=5):
-    seed centroids = the 16 smallest-id vectors, cosine argmax assignment
-    (ties → smaller centroid id), probe 2 cells, exact rerank."""
+    seed centroids = the 16 smallest-id vectors, QUANTIZED (12-decimal)
+    cosine argmax assignment (ties → smaller centroid id) — matching the
+    broadcast-matmul mapInPandas assignment — probe 2 cells, exact rerank."""
     rank_cell = (
         "SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id "
         "ORDER BY sim DESC, cent_id ASC) AS rn FROM csim"
@@ -918,7 +919,7 @@ cdots AS MATERIALIZED (
   GROUP BY a.vec_id, c.cent_id
 ),
 csim AS MATERIALIZED (
-  SELECT d.vec_id, d.cent_id, d.dot / (na.nm * nb.nm) AS sim
+  SELECT d.vec_id, d.cent_id, round(d.dot / (na.nm * nb.nm), 12) AS sim
   FROM cdots d JOIN nrm na ON na.vec_id = d.vec_id
   JOIN nrm nb ON nb.vec_id = d.cent_id
 ),

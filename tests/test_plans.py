@@ -138,3 +138,18 @@ def test_sessionize_single_exchange(spark):
     events = em._t(spark, SF, "events")
     plan = _plan(sessionize(events, gap_minutes=30))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ivf_assignment_no_window_no_corpus_exchange(spark):
+    # VERDICT r2 #1: cell assignment must be the broadcast-matmul argmax,
+    # not a |corpus|·C crossJoin + row_number window. The only Window left
+    # in the whole IVF plan is the final per-query top-k rank.
+    from pargraph_spark.operators.similarity import ivf_topk
+
+    emb = em._t(spark, SF, "embeddings")
+    plan = _plan(ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
+    # "Window [" is the exchange-backed window node; WindowGroupLimit rows
+    # are the map-side top-k pushdown of that same final rank (fine).
+    assert plan.count("Window [") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

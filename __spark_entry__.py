@@ -339,6 +339,20 @@ def _q_winnow_pairs(spark, sf):
                         k=8, w=4, min_shared=30)
 
 
+WINNOW_CAP = 50  # hot-fingerprint posting cap for the capped variant
+
+
+def _q_winnow_pairs_capped(spark, sf):
+    from pargraph_spark.operators.dedup import winnow_pairs
+
+    # hot-bucket guard active: fingerprints in > WINNOW_CAP docs (the
+    # corpus's boilerplate tail — the hottest wfp at sf0.01 sits in 328
+    # docs, i.e. ~53k candidate rows from one bucket) are dropped before
+    # the self-join (VERDICT r2 #3)
+    return winnow_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                        k=8, w=4, min_shared=30, max_postings=WINNOW_CAP)
+
+
 def _q_embedding_near_dup(spark, sf):
     from pargraph_spark.operators.similarity import cosine_near_dup_pairs
 
@@ -507,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_count": _q_regex_token_count,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs": _q_winnow_pairs,
+        "winnow_pairs_capped": _q_winnow_pairs_capped,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "event_window_counts": _q_event_window_counts,
@@ -1127,6 +1142,21 @@ def oracle_sql() -> dict[str, str]:
             "wf AS MATERIALIZED (SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn) "
             "SELECT l.id AS a, r.id AS b, count(*) AS shared "
             "FROM wf l JOIN wf r ON l.wfp = r.wfp AND l.id < r.id "
+            "GROUP BY l.id, r.id HAVING count(*) >= 30"
+        ),
+        "winnow_pairs_capped": (
+            # hot-fingerprint cap: postings in buckets of > WINNOW_CAP docs
+            # removed before the self-join (mirrors _drop_hot_buckets)
+            f"WITH {DOCS_NORM_SQL}, "
+            "h AS MATERIALIZED (SELECT doc_id, CASE WHEN length(n) < 8 THEN [md5(n)] "
+            "ELSE [md5(n[i:i+7]) for i in range(1, length(n) - 8 + 2)] END AS hs FROM t), "
+            "wn AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] "
+            "ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)] END AS ws FROM h), "
+            "wf AS MATERIALIZED (SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn), "
+            f"keep AS MATERIALIZED (SELECT wfp FROM wf GROUP BY wfp HAVING count(*) <= {WINNOW_CAP}), "
+            "wk AS MATERIALIZED (SELECT wf.id, wf.wfp FROM wf JOIN keep USING (wfp)) "
+            "SELECT l.id AS a, r.id AS b, count(*) AS shared "
+            "FROM wk l JOIN wk r ON l.wfp = r.wfp AND l.id < r.id "
             "GROUP BY l.id, r.id HAVING count(*) >= 30"
         ),
         "embedding_near_dup": """

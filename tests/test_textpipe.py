@@ -201,3 +201,48 @@ def test_minhash_matches_python_and_finds_near_dupes(spark, docs):
     for r in rows[:20]:
         a, b = set(_toks(texts[r["a"]])), set(_toks(texts[r["b"]]))
         assert math.isclose(r["jaccard"], len(a & b) / len(a | b), rel_tol=0, abs_tol=0)
+
+
+def test_hot_fingerprint_cap_bounds_boilerplate_blowup(spark):
+    # VERDICT r2 #3: a boilerplate string present in EVERY doc must not
+    # make the winnowing candidate join O(n²) when the cap is on — and a
+    # genuine clone pair (shared unique passage) must still surface.
+    from pargraph_spark.operators.dedup import winnow_pairs
+
+    n = 40
+    boiler = "subscribe to our newsletter and accept all cookies to continue reading "
+    passage = "the quick brown fox jumped over the extremely lazy dog again "
+    rows = []
+    for i in range(n):
+        uniq = f" doc number {i} carries payload {i * 37 % 101} {i * 53 % 97} "
+        text = boiler + uniq
+        if i in (7, 23):  # the planted clone pair shares a unique passage
+            text += passage * 3
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnow_pairs(df, "doc_id", "text", min_shared=1).count()
+    capped_df = winnow_pairs(df, "doc_id", "text", min_shared=1, max_postings=5)
+    capped = {(r["a"], r["b"]) for r in capped_df.collect()}
+    # boilerplate alone makes every pair a candidate without the cap
+    assert uncapped == n * (n - 1) // 2
+    # with the cap, candidate volume collapses (no quadratic blowup) ...
+    assert len(capped) < uncapped / 10, len(capped)
+    # ... but the clone pair survives via its non-hot passage fingerprints
+    assert (7, 23) in capped
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # same guard on the MinHash band join: one bucket shared by all docs
+    # contributes zero candidates under the cap; a pair in its own bucket
+    # survives.
+    from pargraph_spark.operators.dedup import lsh_candidate_pairs
+
+    n = 30
+    rows = [(i, "hot", "sigA") for i in range(n)]  # everyone in one bucket
+    rows += [(1, "b2", "sigB"), (2, "b2", "sigB")]  # plus a cold pair
+    bands = spark.createDataFrame(rows, "id long, band string, sig string")
+    uncapped = lsh_candidate_pairs(bands).count()
+    capped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(bands, max_postings=5).collect()}
+    assert uncapped == n * (n - 1) // 2  # (1,2) also shares the hot bucket
+    assert capped == {(1, 2)}

@@ -202,6 +202,25 @@ def _q_ppr_5iter(spark, sf):
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
+def _q_sssp_4rounds(spark, sf):
+    # weighted shortest paths over the co-occurrence graph: weights are
+    # co-occurrence counts (BIGINT — min-plus sums stay exact integers, so
+    # the cross-engine hash is bit-identical), seeds id < 10, 4 relaxation
+    # rounds == min weight over paths of <= 4 edges (matches the unrolled
+    # min-plus CTE oracle exactly)
+    from pargraph_spark.operators.sssp import sssp
+
+    we = _co_wedges(spark, sf)
+    verts = (
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") < 10)
+    res = sssp(spark, we, seeds, weight_col="w", max_rounds=4, symmetric=True)
+    return res.distances.select("id", F.col("dist").cast("long").alias("dist"))
+
+
 def _q_bfs_4hops(spark, sf):
     from pargraph_spark.operators.bfs import bfs_distances
 
@@ -508,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_5iter": _q_hits_5iter,
         "graph_stats": _q_graph_stats,
         "bfs_4hops": _q_bfs_4hops,
+        "sssp_4rounds": _q_sssp_4rounds,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -608,6 +628,36 @@ def _ppr_sql(iters: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _sssp_sql(rounds: int) -> str:
+    """Unrolled min-plus Bellman-Ford CTE chain mirroring operators.sssp
+    over the symmetrized weighted co-occurrence graph (parallel edges keep
+    min weight). d{t}(v) = min path weight over <= t edges — identical to
+    the frontier relaxation after t rounds."""
+    m = "AS MATERIALIZED"
+    parts = [
+        f"we {m} (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "count(*) AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey)",
+        f"sym {m} (SELECT u, v, min(w) AS w FROM "
+        "(SELECT src AS u, dst AS v, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we) GROUP BY u, v)",
+        f"verts {m} (SELECT src AS id FROM we UNION SELECT dst FROM we)",
+        f"d0 {m} (SELECT id, CAST(0 AS BIGINT) AS dist FROM verts WHERE id < 10)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} {m} (SELECT id, min(dist) AS dist FROM ("
+            f"SELECT * FROM d{t - 1} UNION ALL "
+            f"SELECT s.v AS id, f.dist + s.w AS dist "
+            f"FROM sym s JOIN d{t - 1} f ON s.u = f.id) GROUP BY id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
     )
 
 
@@ -1049,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_30iter": _pagerank_sql(30),
         "ppr_5iter": _ppr_sql(5),
         "wpagerank_5iter": _wpagerank_sql(5),
+        "sssp_4rounds": _sssp_sql(4),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (
             f"WITH {E_SQL}, {SYM_SQL}, {VERTS_SQL}, "

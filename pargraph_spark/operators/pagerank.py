@@ -82,6 +82,20 @@ def _vertex_base(
     )
 
 
+def load_latest_ranks(
+    spark: SparkSession, checkpoint_dir: str, job: str = "pagerank"
+) -> DataFrame | None:
+    """(id, rank) from the newest committed checkpoint of a previous run,
+    or None if none exists — the warm_start feed for incremental PageRank
+    over edge-store appends (half-written checkpoints are invisible by the
+    manifest commit protocol, so this never reads torn state)."""
+    ckpt = CheckpointManager(checkpoint_dir, job)
+    m = ckpt.latest()
+    if m is None:
+        return None
+    return ckpt.load(spark, int(m["superstep"])).select("id", "rank")
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
@@ -97,6 +111,7 @@ def pagerank(
     check_every: int = 1,
     teleport: DataFrame | None = None,
     weight_col: str | None = None,
+    warm_start: DataFrame | None = None,
 ) -> PageRankResult:
     """check_every: convergence-delta cadence. 1 (default) checks every
     superstep (2 Spark jobs/superstep); k>1 amortizes the delta aggregate
@@ -115,7 +130,18 @@ def pagerank(
     weight_col: optional edge-weight column → WEIGHTED PageRank: a source
     splits its rank proportionally to edge weight, r(u)·w(u,v)/W(u) with
     W(u) = Σ_out w (duplicate (src,dst) rows combine by summing weights).
-    dataframe mode only (csr packs unweighted adjacency)."""
+    dataframe mode only (csr packs unweighted adjacency).
+
+    warm_start: optional (id, rank) prior — e.g. the converged ranks of a
+    previous run loaded via load_latest_ranks — for INCREMENTAL PageRank
+    after an edge/vertex drop lands (append_bucketed_edges): r_0(v) =
+    prior rank if present, else _tw for vertices new to the graph. The
+    fixpoint is unique and the iteration renormalizes total mass
+    geometrically (Σr_{t+1} = (1-d) + d·Σr_t), so a warm run converges to
+    the SAME ranks as a cold run on the union graph — just in fewer
+    supersteps when the drop is small relative to the graph. Ignored when
+    `resume` finds a committed checkpoint of THIS run (mid-run state beats
+    a cross-run prior)."""
     if mode not in ("dataframe", "csr"):
         raise ValueError(f"unknown mode {mode!r}")
     if weight_col is not None and mode == "csr":
@@ -186,9 +212,28 @@ def pagerank(
             ranks = ckpt.load(spark, m["superstep"]).repartition(P, "id")
             start_iter = int(m["superstep"])
     if ranks is None:
-        ranks = _with_teleport(base).withColumn("rank", F.col("_tw")).withColumn(
-            "_prev", F.lit(float("nan"))
-        )
+        init = _with_teleport(base)
+        if warm_start is not None:
+            # prior ranks where known; teleport init for new vertices — then
+            # RENORMALIZE to total mass exactly 1: injected/lost mass would
+            # otherwise decay only at d^t per superstep (the slowest mode of
+            # the iteration, Σr_{t+1} = (1-d) + d·Σr_t), which can be far
+            # slower than the graph's own mixing and defeat the warm start.
+            ws = warm_start.select("id", F.col("rank").cast("double").alias("_ws"))
+            init = (
+                init.join(ws, "id", "left")
+                .withColumn("_r0", F.coalesce(F.col("_ws"), F.col("_tw")))
+                .drop("_ws")
+            )
+            tot = init.agg(F.sum("_r0").alias("_tot"))
+            init = (
+                init.crossJoin(F.broadcast(tot))
+                .withColumn("rank", F.col("_r0") / F.col("_tot"))
+                .drop("_r0", "_tot")
+            )
+        else:
+            init = init.withColumn("rank", F.col("_tw"))
+        ranks = init.withColumn("_prev", F.lit(float("nan")))
     if "_tw" not in ranks.columns:  # resumed from a pre-teleport checkpoint
         ranks = _with_teleport(ranks)
     if "_prev" not in ranks.columns:

@@ -17,10 +17,71 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# text interchange layout for csv/jsonl page drops (those formats carry
+# no binary/timestamp types): html is base64, warc_ts is an ISO-8601
+# string; read_pages decodes back to the canonical typed schema
+_TEXT_INTERCHANGE_SCHEMA = (
+    "url string, warc_ts string, html string, text string, lang string"
+)
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Pages scan normalized to the canonical schema
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+    regardless of source format.
+
+    parquet (and iceberg on a cluster) carry the types natively. csv and
+    json drops use the text interchange layout — html base64-encoded,
+    warc_ts ISO-8601 (see write_pages_text) — and are decoded here, so
+    O2's byte-identical extraction contract holds over any source format.
+    """
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt in ("csv", "json"):
+        reader = spark.read.schema(_TEXT_INTERCHANGE_SCHEMA)
+        if fmt == "csv":
+            df = (
+                reader.option("header", True)
+                .option("multiLine", True)
+                .option("escape", '"')
+                .csv(path)
+            )
+        else:
+            df = reader.json(path)
+        return df.select(
+            "url",
+            F.to_timestamp("warc_ts", _TS_FMT).alias("warc_ts"),
+            F.unbase64("html").alias("html"),
+            "text",
+            "lang",
+        )
     return spark.read.format(fmt).load(path)
+
+
+def write_pages_text(pages: DataFrame, path: str, fmt: str) -> None:
+    """Write a pages DataFrame as a csv or json drop in the text
+    interchange layout read_pages expects (html → base64, warc_ts → ISO
+    string). Round-trip is byte-exact for html and value-exact for every
+    other column."""
+    enc = pages.select(
+        "url",
+        F.date_format("warc_ts", _TS_FMT).alias("warc_ts"),
+        F.base64("html").alias("html"),
+        "text",
+        "lang",
+    )
+    if fmt == "csv":
+        (
+            enc.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(path)
+        )
+    elif fmt == "json":
+        enc.write.mode("overwrite").json(path)
+    else:
+        raise ValueError(f"write_pages_text supports csv/json, got {fmt!r}")
 
 
 def latest_pages(pages: DataFrame) -> DataFrame:

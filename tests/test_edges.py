@@ -102,3 +102,40 @@ def test_degrees_and_views(spark):
     assert sym == {(a, b) for a, b in e} | {(b, a) for a, b in e}
     und = {(r["a"], r["b"]) for r in canonical_undirected(edges).collect()}
     assert und == {(min(a, b), max(a, b)) for a, b in e}
+
+
+def _o1_to_o4(pages):
+    edges = build_edges(extract_links(latest_pages(pages)))
+    return {(r["src"], r["dst"]) for r in edges.collect()}
+
+
+def test_csv_json_sources_byte_identical_through_o1_o4(spark, tmp_path):
+    # VERDICT r2 #7: csv + json page drops through the full O1→O4 path.
+    # The text interchange (html base64, warc_ts ISO) must round-trip html
+    # BYTE-identically, and produce the same edge table as the in-memory
+    # parquet-typed frames.
+    import pytest
+
+    from pargraph_spark.sources.pages import read_pages, write_pages_text
+
+    orig = pages_df_local(spark, 150)
+    want_html = {
+        (r["url"], str(r["warc_ts"])): bytes(r["html"]) for r in orig.collect()
+    }
+    want_edges = _o1_to_o4(orig)
+    assert want_edges  # non-degenerate fixture
+
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        write_pages_text(orig, path, fmt)
+        back = read_pages(spark, path, fmt=fmt)
+        assert back.schema.simpleString() == orig.schema.simpleString(), fmt
+        got_html = {
+            (r["url"], str(r["warc_ts"])): bytes(r["html"]) if r["html"] is not None else None
+            for r in back.collect()
+        }
+        assert got_html == want_html, fmt  # byte-identical payloads
+        assert _o1_to_o4(back) == want_edges, fmt
+
+    with pytest.raises(ValueError, match="csv/json"):
+        write_pages_text(orig, str(tmp_path / "x"), "xml")

@@ -5,6 +5,14 @@ Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
 wall seconds plus PageRank throughput detail (edges-processed/sec per
 superstep, iterations-to-convergence — the BASELINE.json primary metric).
 
+Protocol (VERDICT r2 #4): every headline op runs $SPARK_GRAFT_BENCH_TRIALS
+(default 3) INTERLEAVED trials — the trial loop is outer, so slow
+machine-level drift (this sandbox's vCPU-steal epochs swing single runs
+±50%) hits all ops alike — and the reported per-query number is the
+MEDIAN, with {median,min,max,n} spread in extra.per_query_stats so
+round-over-round deltas are attributable. edge_build is a one-shot build
+step (its output is persisted and reused by every trial) and carries n=1.
+
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 BENCH/run_scaling.py, which shells out to fresh processes per parallelism
 level; this file is the single-level per-round probe.
@@ -14,8 +22,10 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -27,6 +37,7 @@ from pargraph_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     shuffle = max(8, 2 * cpus)
     spark = get_spark("pargraph-bench", cores=cpus, shuffle_partitions=shuffle,
                       extra_conf={"spark.ui.enabled": "false"})
@@ -37,89 +48,108 @@ def main() -> None:
     from pargraph_spark.operators.dedup import minhash_dedup_pairs
     from pargraph_spark.operators.labelprop import label_propagation
     from pargraph_spark.operators.pagerank import pagerank
-    from pargraph_spark.operators.similarity import cosine_topk
-    from pargraph_spark.operators.triangles import triangles_global
-
-    timings: dict[str, float] = {}
-    extra: dict[str, object] = {}
-
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-        return out
-
-    edges = entrymod._co_edges(spark, sf_dir).persist()
-    n_edges = timed("edge_build", lambda: edges.count())
-    extra["n_edges"] = n_edges
-
-    pr = timed(
-        "pagerank",
-        lambda: pagerank(spark, edges, tol=1e-6, max_iter=60, mode="dataframe",
-                         num_partitions=shuffle),
-    )
-    pr.ranks.count()
-    extra["pagerank"] = {
-        "iterations": pr.iterations,
-        "converged": pr.converged,
-        "edges_per_sec_mean": round(pr.metrics.steady_state_edges_per_sec(), 1),
-    }
-
-    pr_csr = timed(
-        "pagerank_csr",
-        lambda: pagerank(spark, edges, tol=1e-6, max_iter=60, mode="csr",
-                         num_partitions=shuffle),
-    )
-    extra["pagerank_csr"] = {
-        "iterations": pr_csr.iterations,
-        "edges_per_sec_mean": round(pr_csr.metrics.steady_state_edges_per_sec(), 1),
-    }
-
-    cc = timed("connected_components",
-               lambda: connected_components(spark, edges, num_partitions=shuffle))
-    cc.components.count()
-    extra["cc_rounds"] = cc.rounds
-
-    lp = timed("label_propagation",
-               lambda: label_propagation(spark, edges, max_iter=5, num_partitions=shuffle))
-    lp.labels.count()
-
-    timed("triangle_count", lambda: triangles_global(edges).first())
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # shingle_size=2: the synthetic corpus shares a ~40-word vocab, so
-    # 1-gram LSH marks nearly every pair a candidate (quadratic verify);
-    # bigram shingles give a realistic candidate density.
-    timed("minhash_dedup",
-          lambda: minhash_dedup_pairs(docs, "doc_id", "text", shingle_size=2,
-                                      threshold=0.5).count())
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
-    emb.count()
-    timed("cosine_topk",
-          lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count())
-
     from pargraph_spark.operators.similarity import (
         cosine_near_dup_bucketed,
+        cosine_topk,
         lsh_ann_topk,
     )
+    from pargraph_spark.operators.triangles import triangles_global
 
-    timed("ann_lsh",
-          lambda: lsh_ann_topk(emb, emb.where(F.col("vec_id") < 50), k=10, dim=64,
-                               num_tables=8, planes_per_table=6,
-                               multiprobe_bits=1).count())
+    samples: dict[str, list[float]] = defaultdict(list)
+    extra: dict[str, object] = {}
+    pr_eps_samples: list[float] = []
+    pr_csr_eps_samples: list[float] = []
+
+    # ---- one-shot build phase (outputs persisted, reused by all trials)
+    t0 = time.monotonic()
+    edges = entrymod._co_edges(spark, sf_dir).persist()
+    n_edges = edges.count()
+    samples["edge_build"].append(round(time.monotonic() - t0, 3))
+    extra["n_edges"] = n_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
     near_dup_corpus = entrymod._near_dup_corpus(spark, sf_dir)
-    timed("embedding_near_dup_bucketed",
-          lambda: cosine_near_dup_bucketed(near_dup_corpus, threshold=0.9, dim=64,
-                                           num_tables=8, planes_per_table=8).count())
+
+    # ---- per-trial ops (name -> thunk); trial loop is OUTER (interleaved)
+    def run_pagerank():
+        pr = pagerank(spark, edges, tol=1e-6, max_iter=60, mode="dataframe",
+                      num_partitions=shuffle)
+        pr.ranks.count()
+        pr_eps_samples.extend(
+            m.edges_per_sec for m in pr.metrics.supersteps[2:] if m.wall_ms > 0
+        )
+        extra["pagerank"] = {
+            "iterations": pr.iterations,
+            "converged": pr.converged,
+        }
+
+    def run_pagerank_csr():
+        pr = pagerank(spark, edges, tol=1e-6, max_iter=60, mode="csr",
+                      num_partitions=shuffle)
+        pr_csr_eps_samples.extend(
+            m.edges_per_sec for m in pr.metrics.supersteps[2:] if m.wall_ms > 0
+        )
+        extra["pagerank_csr"] = {"iterations": pr.iterations}
+
+    def run_cc():
+        cc = connected_components(spark, edges, num_partitions=shuffle)
+        cc.components.count()
+        extra["cc_rounds"] = cc.rounds
+
+    ops = [
+        ("pagerank", run_pagerank),
+        ("pagerank_csr", run_pagerank_csr),
+        ("connected_components", run_cc),
+        ("label_propagation",
+         lambda: label_propagation(spark, edges, max_iter=5,
+                                   num_partitions=shuffle).labels.count()),
+        ("triangle_count", lambda: triangles_global(edges).first()),
+        # shingle_size=2: the synthetic corpus shares a ~40-word vocab, so
+        # 1-gram LSH marks nearly every pair a candidate; bigram shingles
+        # give a realistic candidate density.
+        ("minhash_dedup",
+         lambda: minhash_dedup_pairs(docs, "doc_id", "text", shingle_size=2,
+                                     threshold=0.5).count()),
+        ("cosine_topk",
+         lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=10).count()),
+        ("ann_lsh",
+         lambda: lsh_ann_topk(emb, emb.where(F.col("vec_id") < 50), k=10, dim=64,
+                              num_tables=8, planes_per_table=6,
+                              multiprobe_bits=1).count()),
+        ("embedding_near_dup_bucketed",
+         lambda: cosine_near_dup_bucketed(near_dup_corpus, threshold=0.9, dim=64,
+                                          num_tables=8, planes_per_table=8).count()),
+    ]
+
+    for _trial in range(trials):
+        for name, fn in ops:
+            t0 = time.monotonic()
+            fn()
+            samples[name].append(round(time.monotonic() - t0, 3))
+
+    extra["pagerank"]["edges_per_sec_median"] = round(
+        statistics.median(pr_eps_samples), 1) if pr_eps_samples else None
+    extra["pagerank_csr"]["edges_per_sec_median"] = round(
+        statistics.median(pr_csr_eps_samples), 1) if pr_csr_eps_samples else None
+
+    queries = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    extra["per_query_stats"] = {
+        n: {"median": round(statistics.median(s), 3),
+            "min": round(min(s), 3), "max": round(max(s), 3), "n": len(s)}
+        for n, s in samples.items()
+    }
+    extra["trials"] = trials
 
     spark.stop()
     print(json.dumps({
-        "metric": "headline operator wall seconds (pagerank/cc/lpa/triangles/dedup/ann) "
-                  "+ pagerank edges-per-sec per superstep",
-        "value": round(sum(timings.values()), 3),
+        "metric": "headline operator wall seconds — median of interleaved "
+                  "trials (pagerank/cc/lpa/triangles/dedup/ann) + pagerank "
+                  "edges-per-sec per superstep",
+        "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": queries,
         "sf": sf_label,
         "extra": extra,
     }))

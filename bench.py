@@ -58,7 +58,6 @@ def main() -> None:
     samples: dict[str, list[float]] = defaultdict(list)
     extra: dict[str, object] = {}
     pr_eps_samples: list[float] = []
-    pr_csr_eps_samples: list[float] = []
 
     # ---- one-shot build phase (outputs persisted, reused by all trials)
     t0 = time.monotonic()
@@ -85,22 +84,17 @@ def main() -> None:
             "converged": pr.converged,
         }
 
-    def run_pagerank_csr():
-        pr = pagerank(spark, edges, tol=1e-6, max_iter=60, mode="csr",
-                      num_partitions=shuffle)
-        pr_csr_eps_samples.extend(
-            m.edges_per_sec for m in pr.metrics.supersteps[2:] if m.wall_ms > 0
-        )
-        extra["pagerank_csr"] = {"iterations": pr.iterations}
-
     def run_cc():
         cc = connected_components(spark, edges, num_partitions=shuffle)
         cc.components.count()
         extra["cc_rounds"] = cc.rounds
 
+    # pagerank mode="csr" is NOT a headline op: BENCH/BASELINE.md r3 shows
+    # it wins only the low-parallelism regime (2 cores) and loses to the
+    # dataframe plan at >= 8 — demoted to documented-reference status per
+    # the r2 verdict criterion (modes-agree correctness stays pytest-pinned).
     ops = [
         ("pagerank", run_pagerank),
-        ("pagerank_csr", run_pagerank_csr),
         ("connected_components", run_cc),
         ("label_propagation",
          lambda: label_propagation(spark, edges, max_iter=5,
@@ -131,8 +125,6 @@ def main() -> None:
 
     extra["pagerank"]["edges_per_sec_median"] = round(
         statistics.median(pr_eps_samples), 1) if pr_eps_samples else None
-    extra["pagerank_csr"]["edges_per_sec_median"] = round(
-        statistics.median(pr_csr_eps_samples), 1) if pr_csr_eps_samples else None
 
     queries = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     extra["per_query_stats"] = {

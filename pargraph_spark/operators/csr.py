@@ -21,6 +21,8 @@ true out-degrees.
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from typing import Iterable
 
 import numpy as np
@@ -29,6 +31,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 CSR_SCHEMA = "pid int, srcs array<long>, indptr array<long>, dsts array<long>"
+
+# Per-Python-worker LRU over decoded CSR blocks, keyed by (store, pid).
+# Spark reuses Python workers across tasks (spark.python.worker.reuse), so
+# after the first superstep most lookups hit this cache and the E-scale
+# block arrays never cross Arrow again — only the V-scale rank vector does.
+# The cap bounds worker memory when a worker ends up serving many pids;
+# a miss re-reads one pid's parquet from the shared store (cheap, local or
+# HDFS/S3-cached on a cluster).
+CSR_CACHE_BLOCKS = 16
+_BLOCK_CACHE: "OrderedDict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]]" = OrderedDict()
 
 
 def _pack_csr(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -62,6 +74,105 @@ def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
         .groupBy("pid")
         .applyInPandas(lambda pdf: _pack_csr(pdf), schema=CSR_SCHEMA)
     )
+
+
+def write_csr_store(edges: DataFrame, num_blocks: int, path: str) -> None:
+    """Materialize the CSR blocks ONCE as a pid-partitioned parquet store
+    (path/pid=K/...). Supersteps then ship only the rank vector through
+    Arrow and workers pull their pid's block lazily from the store,
+    caching it process-side (see spmv_from_store) — the fix for round 2's
+    CSR-mode bottleneck, where the cogroup re-sent the E-scale block
+    arrays through Arrow every superstep. On a cluster the store lives on
+    shared storage (HDFS/S3); locally, any temp dir."""
+    (
+        build_csr_blocks(edges, num_blocks)
+        .repartition(num_blocks, "pid")
+        .write.mode("overwrite")
+        .partitionBy("pid")
+        .parquet(path)
+    )
+
+
+def _prep_block(srcs, indptr, dsts) -> dict:
+    """One-time per-block precompute, cached with the block: out-degrees
+    and the (uniq dsts, inverse index) pair that turns the per-superstep
+    dst-combine into a single linear np.bincount. Without this the kernel
+    re-sorted the E-scale dst array (np.unique) EVERY superstep — the
+    dominant Python cost once block shipping was gone."""
+    srcs = np.asarray(srcs, dtype=np.int64)
+    indptr = np.asarray(indptr, dtype=np.int64)
+    dsts = np.asarray(dsts, dtype=np.int64)
+    uniq, inv = np.unique(dsts, return_inverse=True)
+    return {
+        "srcs": srcs,
+        "deg": np.diff(indptr),
+        "uniq": uniq,
+        "inv": inv,
+    }
+
+
+def _load_blocks(store: str, pid: int) -> list[dict]:
+    """This pid's prepped blocks, via the worker LRU."""
+    key = (store, pid)
+    hit = _BLOCK_CACHE.get(key)
+    if hit is not None:
+        _BLOCK_CACHE.move_to_end(key)
+        return hit
+    import pyarrow.parquet as pq
+
+    part = os.path.join(store, f"pid={pid}")
+    blocks: list[dict] = []
+    if os.path.isdir(part):
+        pdf = pq.read_table(part, columns=["srcs", "indptr", "dsts"]).to_pandas()
+        blocks = [
+            _prep_block(s, i, d)
+            for s, i, d in zip(pdf["srcs"], pdf["indptr"], pdf["dsts"])
+        ]
+    _BLOCK_CACHE[key] = blocks
+    while len(_BLOCK_CACHE) > CSR_CACHE_BLOCKS:
+        _BLOCK_CACHE.popitem(last=False)
+    return blocks
+
+
+_EMPTY_MSGS = {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")}
+
+
+def spmv_from_store(store: str, pid: int, ranks: pd.DataFrame) -> pd.DataFrame:
+    """Superstep kernel against the block store: this pid's messages,
+    pre-combined per block via the cached inverse index (semantically
+    identical to spmv_messages — same masking of srcs absent from the
+    rank vector, same per-dst partial sums; cross-block-row sums are left
+    to the JVM-side final aggregate)."""
+    blocks = _load_blocks(store, pid)
+    if not blocks or ranks.empty:
+        return pd.DataFrame(_EMPTY_MSGS)
+    ids = ranks["id"].to_numpy(dtype=np.int64)
+    rs = ranks["rank"].to_numpy(dtype=np.float64)
+    sort = np.argsort(ids, kind="stable")
+    ids, rs = ids[sort], rs[sort]
+    out = []
+    for b in blocks:
+        srcs, deg = b["srcs"], b["deg"]
+        pos = np.searchsorted(ids, srcs)
+        in_range = pos < len(ids)
+        pos_safe = np.where(in_range, pos, 0)
+        valid = in_range & (ids[pos_safe] == srcs)
+        rank_src = np.where(valid, rs[pos_safe], 0.0)
+        per_src = rank_src / deg.astype(np.float64)
+        per_edge = np.repeat(per_src, deg)
+        inv, uniq = b["inv"], b["uniq"]
+        if not valid.all():
+            edge_mask = np.repeat(valid, deg)
+            sums = np.bincount(inv[edge_mask], weights=per_edge[edge_mask],
+                               minlength=len(uniq))
+        else:
+            sums = np.bincount(inv, weights=per_edge, minlength=len(uniq))
+        nz = np.nonzero(sums)[0]
+        if nz.size:
+            out.append(pd.DataFrame({"dst": uniq[nz], "msg": sums[nz]}))
+    if not out:
+        return pd.DataFrame(_EMPTY_MSGS)
+    return pd.concat(out, ignore_index=True)
 
 
 def spmv_messages(rank_pdfs: Iterable[pd.DataFrame], block_pdfs: Iterable[pd.DataFrame]):

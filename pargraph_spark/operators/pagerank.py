@@ -7,17 +7,21 @@ Two physical strategies behind one API:
   aggregation absorbs hub-dst skew in the sum. The simple, always-correct
   baseline.
 
-- mode="csr": the explicit-SpMV path (BENCH/BASELINE.md round-2 verdict:
-  dataframe is the faster-scaling default — 0.85 vs 0.73 at 2→8 cores —
-  so csr is the opt-in for memory-bound regimes where its per-block
-  map-side combine shrinks the message shuffle) — edges
-  packed ONCE into per-partition CSR blocks (operators/csr.py), each
-  superstep cogroups the rank vector with its block by pid and runs a
-  partition-local numpy SpMV in an Arrow UDF, emitting messages pre-combined
-  per block; a hash-shuffle sum keyed by dst finishes the superstep. Per
-  iteration only V rank rows + combined messages shuffle; the E-row edge
-  table never moves again. This is the distributed re-expression of the
-  reference's GraphBLAS semiring SpMV frontier kernel
+- mode="csr": the explicit-SpMV DOCUMENTED-REFERENCE path (round-3
+  verdict, BENCH/BASELINE.md: after the block-store rearchitecture it
+  wins the low-parallelism regime — +34% absolute edges/s at 2 cores —
+  but the dataframe plan scales with cores better and leads at ≥8, so
+  csr is opt-in and NOT the bench headline). Edges are packed ONCE into
+  per-partition CSR blocks persisted as a pid-partitioned parquet store
+  (operators/csr.py); each superstep groups the rank vector by pid and
+  runs a partition-local numpy SpMV in an Arrow UDF against the worker's
+  LRU-cached prepped block (degrees + dst inverse-index precomputed, so
+  the in-block combine is one linear bincount), emitting messages
+  pre-combined per block; a hash-shuffle sum keyed by dst finishes the
+  superstep. Per iteration only the V-scale rank vector crosses Arrow;
+  the E-row block arrays never move after the store write. This is the
+  distributed re-expression of the reference's GraphBLAS semiring SpMV
+  frontier kernel
   (/root/reference/pargraph/utility/graphlib_graphblas.py:156-167).
 
 Semantics (shared with tests/oracles.py::pagerank_oracle):
@@ -39,6 +43,9 @@ loop, engine.py:42-129, which Catalyst replaces per-superstep):
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -46,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.operators.csr import build_csr_blocks, spmv_messages, with_pid
+from pargraph_spark.operators.csr import spmv_from_store, with_pid, write_csr_store
 from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -191,17 +198,21 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, JobMetrics("pagerank"))
 
-    blocks = None
+    store_dir, store_is_tmp = None, False
     if mode == "csr":
-        # repartition(P, "pid") BEFORE persisting: applyInPandas output
-        # declares no partitioning, so without this every superstep's
-        # cogroup re-exchanged (and re-sorted) the cached E-scale block
-        # rows — the CSR-mode scaling gap of round 1 (VERDICT: CSR 0.65 vs
-        # dataframe 0.80 at 2→8). With the cache hash(pid)-partitioned the
-        # cogroup satisfies its clustered distribution in place and only
-        # the V-row rank vector exchanges per superstep.
-        blocks = build_csr_blocks(edges, P).repartition(P, "pid").persist()
-        blocks.count()  # build once, reuse every superstep
+        # Materialize CSR blocks ONCE into a pid-partitioned parquet store.
+        # Round 2 cogrouped a cached blocks DataFrame against the ranks,
+        # which re-shipped the E-scale block arrays through Arrow every
+        # superstep (the measured CSR bottleneck, VERDICT r2 #2); with the
+        # store, each superstep ships only the V-scale rank vector and
+        # workers serve blocks from a process-local LRU (csr.py), falling
+        # back to a one-pid parquet read on a cache miss.
+        if checkpoint_dir:
+            store_dir = os.path.join(checkpoint_dir, "csr_store")
+        else:
+            store_dir = tempfile.mkdtemp(prefix="pargraph_csr_")
+            store_is_tmp = True
+        write_csr_store(edges, P, store_dir)
 
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
     start_iter = 0
@@ -245,8 +256,8 @@ def pagerank(
     converged = False
     it = start_iter
 
-    def _spmv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return spmv_messages([left], [right])
+    def _spmv(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return spmv_from_store(store_dir, int(key[0]), pdf)
 
     while it < max_iter:
         it += 1
@@ -269,7 +280,6 @@ def pagerank(
             rank_g = with_pid(ranks.select("id", "rank"), "id", P)
             msgs = (
                 rank_g.groupBy("pid")
-                .cogroup(blocks.groupBy("pid"))
                 .applyInPandas(_spmv, schema=MSG_SCHEMA)
                 .groupBy("dst")
                 .agg(F.sum("msg").alias("msg"))
@@ -335,6 +345,6 @@ def pagerank(
     # ref-count release of dead intermediates (engine.py:63-76).
     edges.unpersist()
     base.unpersist()
-    if blocks is not None:
-        blocks.unpersist()
+    if store_is_tmp and store_dir:
+        shutil.rmtree(store_dir, ignore_errors=True)
     return PageRankResult(result, it, converged, metrics, deltas)

@@ -204,6 +204,20 @@ def _q_ppr_5iter(spark, sf):
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
+KCORE_K = 80       # sf0.01 cascade: 5 peel rounds, 1857-vertex core
+KCORE_ROUNDS = 8   # fixed peel rounds (identity after convergence)
+
+
+def _q_kcore(spark, sf):
+    # k-core membership + core degree after a FIXED number of peel rounds
+    # (both engines run exactly KCORE_ROUNDS peels; rounds past the
+    # fixpoint are identity, so this equals the true k-core once converged)
+    from pargraph_spark.operators.kcore import kcore
+
+    res = kcore(spark, _co_edges(spark, sf), k=KCORE_K, max_rounds=KCORE_ROUNDS)
+    return res.vertices.select("id", F.col("deg").cast("long").alias("deg"))
+
+
 def _q_sssp_4rounds(spark, sf):
     # weighted shortest paths over the co-occurrence graph: weights are
     # co-occurrence counts (BIGINT — min-plus sums stay exact integers, so
@@ -530,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "bfs_4hops": _q_bfs_4hops,
         "sssp_4rounds": _q_sssp_4rounds,
+        "kcore": _q_kcore,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -630,6 +645,29 @@ def _ppr_sql(iters: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel mirroring operators.kcore: each round removes edges
+    touching vertices whose CURRENT degree < k; identity once converged."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        f"s0 {m} (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"p{r} {m} (SELECT u FROM (SELECT u, count(*) AS c FROM s{p} GROUP BY u) WHERE c < {k})"
+        )
+        parts.append(
+            f"s{r} {m} (SELECT u, v FROM s{p} WHERE u NOT IN (SELECT u FROM p{r}) "
+            f"AND v NOT IN (SELECT u FROM p{r}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY u"
     )
 
 
@@ -1102,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(5),
         "wpagerank_5iter": _wpagerank_sql(5),
         "sssp_4rounds": _sssp_sql(4),
+        "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (
             f"WITH {E_SQL}, {SYM_SQL}, {VERTS_SQL}, "

@@ -19,13 +19,13 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 38 queries carry exact oracles — including the iterative fixpoints
-(unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC and
-min-plus SSSP), the LSH/IVF families (hyperplane sign literals and
-seed-centroid models baked into generated SQL so bucket/cell assignment
-is reproduced engine-side; IVF assignment sims quantized 12dp in both
-engines), the hot-bucket-capped dedup variant, and the event suite
-(windows/sessions/JSON props).
+All 39 queries carry exact oracles — including the iterative fixpoints
+(unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC,
+min-plus SSSP, and the k-core peel), the LSH/IVF families (hyperplane
+sign literals and seed-centroid models baked into generated SQL so
+bucket/cell assignment is reproduced engine-side; IVF assignment sims
+quantized 12dp in both engines), the hot-bucket-capped dedup variant,
+and the event suite (windows/sessions/JSON props).
 """
 
 from __future__ import annotations

@@ -162,6 +162,12 @@ def _q_triangles_per_vertex(spark, sf):
     return triangles_per_vertex(_co_edges(spark, sf))
 
 
+def _q_clustering_coefficient(spark, sf):
+    from pargraph_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(_co_edges(spark, sf))
+
+
 def _q_pagerank_5iter(spark, sf):
     res = pagerank(spark, _co_edges(spark, sf), damping=DAMPING, tol=0.0, max_iter=5)
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
@@ -235,6 +241,15 @@ def _q_sssp_4rounds(spark, sf):
     seeds = verts.where(F.col("id") < 10)
     res = sssp(spark, we, seeds, weight_col="w", max_rounds=4, symmetric=True)
     return res.distances.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_wlpa_round3(spark, sf):
+    # WEIGHTED label propagation over the co-occurrence-multiplicity graph
+    # (votes = co-occurrence counts, exact integer sums), fixed 3 rounds so
+    # the unrolled weighted-vote CTE oracle is exact
+    res = label_propagation(spark, _co_wedges(spark, sf), max_iter=3,
+                            weight_col="w")
+    return res.labels
 
 
 def _q_bfs_4hops(spark, sf):
@@ -536,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "triangles_global": _q_triangles_global,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "clustering_coefficient": _q_clustering_coefficient,
         "pagerank_5iter": _q_pagerank_5iter,
         "pagerank_30iter": _q_pagerank_30iter,
         "ppr_5iter": _q_ppr_5iter,
@@ -545,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_4hops": _q_bfs_4hops,
         "sssp_4rounds": _q_sssp_4rounds,
         "kcore": _q_kcore,
+        "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
         "doc_stats": _q_doc_stats,
@@ -646,6 +663,39 @@ def _ppr_sql(iters: int) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
     )
+
+
+def _wlpa_sql(rounds: int) -> str:
+    """Unrolled WEIGHTED LPA mirroring label_propagation(weight_col='w')
+    over the co-occurrence-multiplicity graph: votes sum edge weights
+    (exact BIGINT), ties to the MIN label."""
+    m = "AS MATERIALIZED"
+    parts = [
+        f"we {m} (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "count(*) AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey)",
+        f"sym {m} (SELECT u, v, sum(w) AS w FROM "
+        "(SELECT src AS u, dst AS v, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we) GROUP BY u, v)",
+        f"l0 {m} (SELECT u AS id, u AS label FROM sym GROUP BY u)",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"cnt{c} {m} (SELECT s.v AS id, l.label, sum(s.w) AS c "
+            f"FROM sym s JOIN l{p} l ON s.u = l.id GROUP BY s.v, l.label)"
+        )
+        parts.append(
+            f"best{c} {m} (SELECT id, label FROM (SELECT id, label, "
+            f"row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn "
+            f"FROM cnt{c}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{c} {m} (SELECT l.id, coalesce(b.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN best{c} b ON l.id = b.id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT id, label FROM l{rounds}"
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -1135,12 +1185,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, count(*) AS tri FROM (SELECT x AS id FROM tri "
             "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id"
         ),
+        "clustering_coefficient": (
+            f"WITH {E_SQL}, "
+            "tri AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z "
+            "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+            "tpv AS MATERIALIZED (SELECT id, count(*) AS tri FROM (SELECT x AS id FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id), "
+            "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id) "
+            "SELECT deg.id, CASE WHEN deg.d < 2 THEN 0.0 ELSE "
+            "2.0 * coalesce(tpv.tri, 0) / (deg.d * (deg.d - 1)) END AS lcc "
+            "FROM deg LEFT JOIN tpv ON deg.id = tpv.id"
+        ),
         "pagerank_5iter": _pagerank_sql(5),
         "pagerank_30iter": _pagerank_sql(30),
         "ppr_5iter": _ppr_sql(5),
         "wpagerank_5iter": _wpagerank_sql(5),
         "sssp_4rounds": _sssp_sql(4),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (
             f"WITH {E_SQL}, {SYM_SQL}, {VERTS_SQL}, "

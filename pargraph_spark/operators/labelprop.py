@@ -47,18 +47,30 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    weight_col: str | None = None,
 ) -> LabelPropResult:
     """checkpoint_dir enables superstep-granular restart (O11): the label
     assignment is the complete iteration state (the edge table is an input,
     rebuilt deterministically), so a resumed run replays from the newest
     committed manifest — synchronous LPA from identical labels is
-    deterministic, hence resume == uninterrupted (tests/test_checkpoint.py)."""
+    deterministic, hence resume == uninterrupted (tests/test_checkpoint.py).
+
+    weight_col: optional edge weight → WEIGHTED LPA: a neighbor's vote
+    counts w(u,v) instead of 1 (duplicate (u,v) rows combine by summing
+    weights; symmetrization carries the weight both ways). Argmax by total
+    incoming vote weight, ties still broken by MIN label. With integer
+    weights the vote sums are exact, so results are deterministic and
+    engine-independent (the contract-query configuration); float weights
+    inherit summation-order sensitivity only at exact vote ties."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # weight keeps its natural type (integer weights => exact vote sums)
+    w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w.alias("w"))
     sym = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        .groupBy("u", "v")
+        .agg((F.max("w") if weight_col is None else F.sum("w")).alias("w"))
         # Partition on "u" — the key every superstep's join probes
         # (sym["u"] == labels["id"]). With the edge side pre-partitioned on
         # the join key, Catalyst re-exchanges only the small (id,label)
@@ -99,11 +111,11 @@ def label_propagation(
     while it < max_iter:
         it += 1
         t0 = time.monotonic()
-        # message: each vertex u sends its label to neighbor v
+        # message: each vertex u sends its label (vote weight w) to v
         nbr = sym.join(labels, sym["u"] == labels["id"]).select(
-            sym["v"].alias("id"), F.col("label")
+            sym["v"].alias("id"), F.col("label"), sym["w"]
         )
-        counted = nbr.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
         best = counted.groupBy("id").agg(
             F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("label").alias("l"))).alias("b")
         ).select("id", F.col("b.l").alias("new_label"))

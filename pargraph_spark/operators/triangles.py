@@ -80,6 +80,33 @@ def triangles_global(edges: DataFrame) -> DataFrame:
     return triangle_triples(edges).agg(F.count("*").alias("n_triangles"))
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, lcc) — local clustering coefficient over the undirected
+    simple graph: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)), 0.0 when d(v) < 2.
+
+    Cross-engine exact: T and d are exact ints, 2.0·T is exact in double,
+    and the single IEEE division is bit-identical across engines (the
+    jaccard_verify float policy). Plan = the triangle pipeline plus one
+    degree aggregate and a left join — no new shuffle classes."""
+    und = canonical_undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangles_per_vertex(edges)
+    return deg.join(tri, "id", "left").select(
+        "id",
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            F.lit(2.0) * F.coalesce(F.col("tri"), F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1))
+        )
+        .alias("lcc"),
+    )
+
+
 def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
     tris = triangle_triples(edges).persist()
     total = tris.count()

@@ -55,3 +55,52 @@ def test_synth_graph_matches_oracle_per_iteration(spark):
         got = {r["id"]: r["label"] for r in res.labels.collect()}
         oracle = label_propagation_oracle(edges, verts, max_iter=iters)
         assert got == oracle, f"divergence at iter={iters}"
+
+
+def test_weighted_lpa_matches_python(spark):
+    # weighted votes: heavy edge to a small label must outvote many light
+    # edges; python oracle mirrors the weighted argmax + min tie-break
+    import random
+
+    rng = random.Random(3)
+    n = 30
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 6))
+        for _ in range(90)
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    res = label_propagation(spark, edf, max_iter=3, num_partitions=4,
+                            weight_col="w")
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+
+    # python mirror
+    wadj: dict[tuple[int, int], int] = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        wadj[(s, d)] = wadj.get((s, d), 0) + w
+        wadj[(d, s)] = wadj.get((d, s), 0) + w
+    verts = sorted({v for e in wadj for v in e})
+    lab = {v: v for v in verts}
+    for _ in range(3):
+        votes: dict[int, dict[int, int]] = {}
+        for (u, v), w in wadj.items():
+            votes.setdefault(v, {}).setdefault(lab[u], 0)
+            votes[v][lab[u]] += w
+        new = dict(lab)
+        for v, vv in votes.items():
+            best = min(((-c, l) for l, c in vv.items()))
+            new[v] = best[1]
+        lab = new
+    assert got == lab
+
+
+def test_weighted_lpa_heavy_edge_dominates(spark):
+    # star: center 5 connects to 1,2,3 with w=1 and to 0 with w=10 —
+    # round 1 must relabel the center to 0 despite three light votes
+    edges = [(5, 1, 1), (5, 2, 1), (5, 3, 1), (5, 0, 10)]
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    res = label_propagation(spark, edf, max_iter=1, num_partitions=4,
+                            weight_col="w")
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got[5] == 0

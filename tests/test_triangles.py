@@ -45,3 +45,16 @@ def test_synth_graph_matches_oracle(spark):
     got = {r["id"]: r["tri"] for r in res.per_vertex.collect()}
     assert got == per
     assert total > 0, "fixture should contain triangles"
+
+
+def test_clustering_coefficient_matches_python(spark):
+    from pargraph_spark.operators.triangles import clustering_coefficient
+
+    # K4 plus a pendant: K4 members have lcc 1 except the one with the
+    # pendant (deg 4, 3 triangles -> 0.5); pendant deg 1 -> 0.0
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["lcc"] for r in clustering_coefficient(edf).collect()}
+    assert got[0] == got[1] == got[2] == 1.0
+    assert got[3] == 2.0 * 3 / (4 * 3)
+    assert got[4] == 0.0

@@ -19,7 +19,7 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 39 queries carry exact oracles — including the iterative fixpoints
+All 41 queries carry exact oracles — including the iterative fixpoints
 (unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC,
 min-plus SSSP, and the k-core peel), the LSH/IVF families (hyperplane
 sign literals and seed-centroid models baked into generated SQL so

@@ -75,6 +75,42 @@ def build_edges(extracted: DataFrame, num_partitions: int | None = None) -> Data
     return e
 
 
+def host_graph(extracted: DataFrame) -> DataFrame:
+    """Host-level rollup of the page link graph: (src_host, dst_host, w)
+    where w counts the distinct page-level links between the two hosts —
+    the input to host/domain PageRank (pagerank(weight_col='w')), the
+    standard coarse view for spam/authority analysis at web scale.
+
+    Everything JVM-side: F.parse_url extracts the lowercased host per
+    endpoint url, dedupe happens at the PAGE level first (so duplicate
+    crawls don't inflate host weights), then one (src_host, dst_host)
+    aggregate. At 10^12 pages the rollup is a single shuffle keyed by the
+    host pair and the output is millions of rows, not trillions —
+    map-side partial counts absorb the intra-host skew. Intra-host links
+    (src_host == dst_host) are KEPT (w on the diagonal is the site's
+    internal link mass); filter them out for inter-site analyses."""
+    e = edge_urls(extracted).dropDuplicates(["src_url", "dst_url"])
+    return (
+        e.select(
+            F.lower(F.parse_url("src_url", F.lit("HOST"))).alias("src_host"),
+            F.lower(F.parse_url("dst_url", F.lit("HOST"))).alias("dst_host"),
+        )
+        .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def host_edges_ids(hosts: DataFrame) -> DataFrame:
+    """(src, dst, w) with xxhash64 host ids — the weighted edge table a
+    host-level pagerank/labelprop consumes directly."""
+    return hosts.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        "w",
+    )
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
 

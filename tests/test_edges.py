@@ -139,3 +139,35 @@ def test_csv_json_sources_byte_identical_through_o1_o4(spark, tmp_path):
 
     with pytest.raises(ValueError, match="csv/json"):
         write_pages_text(orig, str(tmp_path / "x"), "xml")
+
+
+def test_host_graph_rollup_matches_python(spark):
+    from urllib.parse import urlparse
+
+    from pargraph_spark.operators.edges import edge_urls, host_edges_ids, host_graph
+    from pargraph_spark.operators.pagerank import pagerank
+
+    pages = pages_df_local(spark, 200)
+    ext = extract_links(latest_pages(pages))
+    got = {
+        (r["src_host"], r["dst_host"]): r["w"]
+        for r in host_graph(ext).collect()
+    }
+
+    # python mirror over the same page-level distinct links
+    page_links = {
+        (r["src_url"], r["dst_url"]) for r in edge_urls(ext).collect()
+    }
+    want: dict[tuple[str, str], int] = {}
+    for s, d in page_links:
+        hs, hd = urlparse(s).hostname, urlparse(d).hostname
+        if hs and hd:
+            want[(hs, hd)] = want.get((hs, hd), 0) + 1
+    assert got == want
+    assert any(a == b for a, b in got)      # intra-host mass kept
+    assert any(a != b for a, b in got)      # inter-host links exist
+
+    # the rollup feeds weighted pagerank directly
+    he = host_edges_ids(host_graph(ext))
+    res = pagerank(spark, he, weight_col="w", num_partitions=4, max_iter=10, tol=0.0)
+    assert res.ranks.count() == len({h for pair in want for h in pair})

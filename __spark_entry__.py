@@ -19,7 +19,7 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 41 queries carry exact oracles — including the iterative fixpoints
+All 42 queries carry exact oracles — including the iterative fixpoints
 (unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC,
 min-plus SSSP, and the k-core peel), the LSH/IVF families (hyperplane
 sign literals and seed-centroid models baked into generated SQL so
@@ -347,6 +347,18 @@ def _q_jaccard_pairs(spark, sf):
     return jaccard_verify(cands, sh, threshold=0.5)
 
 
+def _q_dedup_groups(spark, sf):
+    # pairs -> connected groups -> canonical doc (min id): the keep-list
+    # step of the dedup pipeline, oracled end-to-end (jaccard >= 0.5 pair
+    # graph closed by a recursive CTE)
+    from pargraph_spark.operators.dedup import near_dup_groups
+
+    return near_dup_groups(
+        spark, _t(spark, sf, "documents"), "doc_id", "text",
+        shingle_size=2, num_hashes=8, num_bands=4, threshold=0.5,
+    )
+
+
 def _q_media_features(spark, sf):
     docs = _t(spark, sf, "documents")
     media = to_media_table(
@@ -569,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_groups": _q_dedup_groups,
         "media_features": _q_media_features,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
@@ -1268,6 +1281,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sz za ON za.id = p.a JOIN sz zb ON zb.id = p.b "
             "WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / "
             "CAST(za.sz + zb.sz - coalesce(i.i, 0) AS DOUBLE) >= 0.5"
+        ),
+        "dedup_groups": (
+            # verified (jaccard >= 0.5) pair graph closed into components,
+            # canonical = min doc id per component (mirrors near_dup_groups)
+            f"WITH RECURSIVE {DOCS_NORM_SQL}, {_MINHASH_PRELUDE}, "
+            "sz AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
+            "inter AS MATERIALIZED (SELECT p.a, p.b, count(*) AS i FROM pairs p "
+            "JOIN sh sa ON sa.id = p.a JOIN sh sb ON sb.id = p.b "
+            "AND sa.shingle = sb.shingle GROUP BY p.a, p.b), "
+            "jp AS MATERIALIZED (SELECT p.a, p.b "
+            "FROM pairs p LEFT JOIN inter i ON p.a = i.a AND p.b = i.b "
+            "JOIN sz za ON za.id = p.a JOIN sz zb ON zb.id = p.b "
+            "WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / "
+            "CAST(za.sz + zb.sz - coalesce(i.i, 0) AS DOUBLE) >= 0.5), "
+            "symp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp), "
+            "reach(v, r) AS (SELECT u, u FROM symp UNION "
+            "SELECT symp.v, reach.r FROM reach JOIN symp ON symp.u = reach.v) "
+            "SELECT v AS doc_id, min(r) AS canonical_id FROM reach GROUP BY v"
         ),
         "media_features": (
             "SELECT doc_id AS media_id, "

@@ -230,6 +230,39 @@ def winnow_pairs(
     )
 
 
+def near_dup_groups(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """(doc_id, canonical_id) — the step a real pipeline needs AFTER pair
+    detection: group verified near-dup pairs into connected components and
+    elect one canonical doc (min id) per group. Downstream keep-list =
+    "drop every doc where doc_id != canonical_id".
+
+    Only members of a dup GROUP appear in the output; untouched docs are
+    implicitly canonical — at 10^12 docs the dup groups are the small
+    output, never the corpus. The component step runs the engine's own
+    small/large-star CC over the (tiny) verified pair graph, whose
+    component label is already the group's min id."""
+    from pargraph_spark.operators.components import connected_components
+
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, shingle_size, num_hashes, num_bands,
+        threshold, max_postings,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(spark, pairs).components
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

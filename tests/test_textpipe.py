@@ -246,3 +246,27 @@ def test_lsh_hot_bucket_cap(spark):
     capped = {(r["a"], r["b"]) for r in lsh_candidate_pairs(bands, max_postings=5).collect()}
     assert uncapped == n * (n - 1) // 2  # (1,2) also shares the hot bucket
     assert capped == {(1, 2)}
+
+
+def test_near_dup_groups_elect_canonical(spark):
+    from pargraph_spark.operators.dedup import near_dup_groups
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today "
+    other = "completely different content about spark partitions and shuffles here "
+    rows = [
+        (1, base + "alpha"),
+        (2, base + "beta"),        # near-dup of 1 (and 3 via chain)
+        (3, base + "gamma"),
+        (10, other + "one"),
+        (11, other + "two"),       # near-dup pair {10, 11}
+        (50, "a totally unrelated singleton document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_groups(spark, df, "doc_id", "text",
+                                 shingle_size=2, threshold=0.5).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1  # one group, min id canonical
+    assert got[10] == got[11] == 10
+    assert 50 not in got  # singletons are implicitly canonical (absent)

@@ -69,3 +69,44 @@ def read_streamed_edges(spark: SparkSession, edges_dir: str) -> DataFrame:
     """Read the accumulated edge table (drops the batch_id bookkeeping
     partition column) for downstream batch algorithms."""
     return spark.read.parquet(edges_dir).drop("batch_id")
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, ts timestamp, text string",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming EXACT dedupe of a document feed: emit each distinct
+    content fingerprint once (first arrival wins), duplicates within the
+    watermark horizon dropped — the ingest-side dedup step of a training
+    pipeline, running ahead of the batch MinHash/winnowing passes.
+
+    Built on dropDuplicates over the md5 content fingerprint with an
+    event-time watermark: Spark keeps one state row per fingerprint seen
+    within the horizon, so state is bounded by the dedup window, not the
+    stream length — the only formulation that survives an unbounded feed.
+    A duplicate arriving LATER than the watermark horizon re-emits (the
+    documented, bounded-state tradeoff; the batch exact_dedup pass is the
+    backstop). Appends (doc_id, fp, ts) to out_dir; exactly-once via the
+    file-sink commit log."""
+    from pargraph_spark.functions.text import fingerprint
+
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (
+        docs.select("doc_id", "ts", fingerprint(F.col("text")).alias("fp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["fp"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -58,3 +58,52 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     n2, set2 = again.count(), {(r["src"], r["dst"]) for r in again.collect()}
     assert n1 == n2 and set1 == set2
     assert n1 == len(set1)  # no duplicate rows anywhere
+
+
+def test_stream_dedup_docs_first_arrival_wins(spark, tmp_path):
+    from datetime import datetime
+
+    from pargraph_spark.streaming.incremental import stream_dedup_docs
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, name))
+
+    # two drops: doc 2 duplicates doc 1's content; doc 4 duplicates too
+    drop("d1", [(1, t0, "alpha beta gamma"), (2, t0, "alpha beta gamma"),
+                (3, t0, "something else entirely")])
+    drop("d2", [(4, t0, "alpha beta gamma"), (5, t0, "fresh new content")])
+
+    q = stream_dedup_docs(
+        spark, in_dir + "/*", out_dir, ck, watermark="1 hour",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    # one row per distinct content; the duplicate ids 2 and 4 never emit
+    assert all(len(v) == 1 for v in by_fp.values()), by_fp
+    emitted = {r["doc_id"] for r in out}
+    assert 3 in emitted and 5 in emitted
+    assert len(emitted & {1, 2, 4}) == 1  # exactly one of the triplicate
+
+    # a replayed/new duplicate within the watermark still dropped
+    drop("d3", [(6, t0, "alpha beta gamma")])
+    q2 = stream_dedup_docs(
+        spark, in_dir + "/*", out_dir, ck, watermark="1 hour",
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(out_dir).collect()
+    assert 6 not in {r["doc_id"] for r in out2}
+    assert len(out2) == len(out)

@@ -19,7 +19,7 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 42 queries carry exact oracles — including the iterative fixpoints
+All 43 queries carry exact oracles — including the iterative fixpoints
 (unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC,
 min-plus SSSP, and the k-core peel), the LSH/IVF families (hyperplane
 sign literals and seed-centroid models baked into generated SQL so
@@ -134,6 +134,27 @@ def _q_degrees(spark, sf):
         .unionByName(e.select(F.col("dst").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("degree"))
+    )
+
+
+def _q_degree_histogram(spark, sf):
+    # log2-bucketed degree distribution (the first thing anyone plots on a
+    # web graph). Bucket = bit-length of the degree — an exact INTEGER in
+    # both engines (length of the binary string), never a float log that
+    # could straddle a ULP boundary cross-engine.
+    e = _co_edges(spark, sf)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("degree")).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_vertices"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
     )
 
 
@@ -558,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_build": _q_edge_build,
         "degrees": _q_degrees,
+        "degree_histogram": _q_degree_histogram,
         "cc_large_star_round": _q_cc_large_star_round,
         "lpa_round2": _q_lpa_round2,
         "connected_components": _q_connected_components,
@@ -1166,6 +1188,14 @@ def oracle_sql() -> dict[str, str]:
         "degrees": (
             f"WITH {E_SQL} SELECT id, count(*) AS degree FROM "
             "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id"
+        ),
+        "degree_histogram": (
+            f"WITH {E_SQL}, "
+            "deg AS (SELECT id, count(*) AS degree FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id) "
+            "SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket, "
+            "count(*) AS n_vertices, min(degree) AS min_degree, "
+            "max(degree) AS max_degree FROM deg GROUP BY 1"
         ),
         "cc_large_star_round": (
             f"WITH {E_SQL}, {SYM_SQL}, "

@@ -153,3 +153,23 @@ def test_ivf_assignment_no_window_no_corpus_exchange(spark):
     assert plan.count("Window [") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_cap_is_broadcast_anti_join(spark):
+    # the hot-bucket guard must be an anti-join against the (tiny) hot-key
+    # set — broadcast, never a shuffle of the postings table
+    from pargraph_spark.operators.dedup import winnow_pairs
+
+    docs = em._t(spark, SF, "documents")
+    plan = _plan(winnow_pairs(docs, "doc_id", "text", max_postings=10))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_partial_combines(spark):
+    from pargraph_spark.operators.triangles import clustering_coefficient
+
+    plan = _plan(clustering_coefficient(em._co_edges(spark, SF)))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # all JVM-side

@@ -24,10 +24,16 @@ from pargraph_spark.synth import generate_pages_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pargraph_spark")
-    ap.add_argument("job", choices=["pagerank", "components", "labels", "triangles", "all"])
+    ap.add_argument("job", choices=["pagerank", "components", "labels",
+                                    "triangles", "kcore", "hosts", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
     src.add_argument("--synth-pages", type=int, help="generate N synthetic pages (seed 42)")
+    ap.add_argument("--pages-format", default="parquet",
+                    choices=["parquet", "csv", "json"],
+                    help="pages source format (csv/json use the base64-html "
+                         "text interchange, sources/pages.py)")
+    ap.add_argument("--k", type=int, default=10, help="k for the kcore job")
     ap.add_argument("--output", required=True, help="output directory (parquet)")
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--checkpoint-dir")
@@ -45,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.synth_pages
         else args.pages
     )
-    graph = build_linkgraph(spark, pages, num_partitions=args.partitions)
+    graph = build_linkgraph(spark, pages, num_partitions=args.partitions,
+                            pages_format=args.pages_format)
     graph.vertices.write.mode("overwrite").parquet(f"{args.output}/vertices.parquet")
     graph.edges.write.mode("overwrite").parquet(f"{args.output}/edges.parquet")
 
@@ -85,6 +92,26 @@ def main(argv: list[str] | None = None) -> int:
                                    num_partitions=args.partitions)
         lp.labels.write.mode("overwrite").parquet(f"{args.output}/labels.parquet")
         summary["labels"] = {"iterations": lp.iterations, "converged": lp.converged}
+    if args.job == "kcore":
+        from pargraph_spark.operators.kcore import kcore
+
+        kc = kcore(spark, graph.edges, args.k, num_partitions=args.partitions)
+        kc.vertices.write.mode("overwrite").parquet(f"{args.output}/kcore.parquet")
+        summary["kcore"] = {"k": args.k, "rounds": kc.rounds,
+                            "core_size": kc.vertices.count()}
+    if args.job == "hosts":
+        from pargraph_spark.operators.edges import host_edges_ids, host_graph
+        from pargraph_spark.operators.pagerank import pagerank as _pr
+
+        hosts = host_graph(graph.extracted).persist()
+        hosts.write.mode("overwrite").parquet(f"{args.output}/host_edges.parquet")
+        hr = _pr(spark, host_edges_ids(hosts), weight_col="w",
+                 num_partitions=args.partitions, tol=args.tol)
+        hr.ranks.write.mode("overwrite").parquet(f"{args.output}/host_ranks.parquet")
+        summary["hosts"] = {"n_host_pairs": hosts.count(),
+                            "pagerank_iterations": hr.iterations,
+                            "converged": hr.converged}
+        hosts.unpersist()
     if args.job in ("triangles", "all"):
         tc = results["triangles"] if results else None
         if tc is None:

@@ -29,6 +29,7 @@ from pargraph_spark.sources.pages import latest_pages, read_pages
 class LinkGraph:
     vertices: DataFrame  # (id, url)
     edges: DataFrame     # (src, dst) distinct, partitioned by src
+    extracted: DataFrame | None = None  # (url, text, links) — host rollup input
 
 
 def build_linkgraph(
@@ -36,16 +37,17 @@ def build_linkgraph(
     pages: DataFrame | str,
     num_partitions: int | None = None,
     check_collisions: bool = True,
+    pages_format: str = "parquet",
 ) -> LinkGraph:
     if isinstance(pages, str):
-        pages = read_pages(spark, pages)
+        pages = read_pages(spark, pages, fmt=pages_format)
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     extracted = extract_links(latest_pages(pages))
     edges = build_edges(extracted, num_partitions=P).persist()
     vertices = build_vertices(extracted).persist()
     if check_collisions:
         assert_no_id_collisions(vertices)
-    return LinkGraph(vertices, edges)
+    return LinkGraph(vertices, edges, extracted)
 
 
 def run_all(

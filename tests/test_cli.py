@@ -62,3 +62,26 @@ def test_plan_dot_and_json(spark):
     assert dot.startswith("digraph plan {") and dot.endswith("}")
     assert dot.count(" -> ") == n - 1  # a tree: |E| = |V| - 1
     assert "HashAggregate" in dot and "Range" in dot
+
+
+def test_cli_kcore_and_hosts_jobs(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    for job, extra in (("kcore", ["--k", "2"]), ("hosts", [])):
+        out = str(tmp_path / job)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pargraph_spark.cli", job,
+             "--synth-pages", "300", "--output", out,
+             "--cores", "2", "--partitions", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert job in summary, summary
+    # artifacts exist
+    import os
+
+    assert os.path.isdir(str(tmp_path / "kcore" / "kcore.parquet"))
+    assert os.path.isdir(str(tmp_path / "hosts" / "host_ranks.parquet"))

@@ -10,8 +10,11 @@ Protocol (VERDICT r2 #4): every headline op runs $SPARK_GRAFT_BENCH_TRIALS
 machine-level drift (this sandbox's vCPU-steal epochs swing single runs
 ±50%) hits all ops alike — and the reported per-query number is the
 MEDIAN, with {median,min,max,n} spread in extra.per_query_stats so
-round-over-round deltas are attributable. edge_build is a one-shot build
-step (its output is persisted and reused by every trial) and carries n=1.
+round-over-round deltas are attributable. edge_build participates in the
+trial loop like every other op (VERDICT r3 #2 — its r3 n=1 left a 2×
+swing unattributable): each trial rebuilds the edge table from the
+parquet scan and counts it, unpersisted; the persisted copy the other
+ops share is built once up front and is NOT what the trials time.
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 BENCH/run_scaling.py, which shells out to fresh processes per parallelism
@@ -59,11 +62,10 @@ def main() -> None:
     extra: dict[str, object] = {}
     pr_eps_samples: list[float] = []
 
-    # ---- one-shot build phase (outputs persisted, reused by all trials)
-    t0 = time.monotonic()
+    # ---- one-shot build phase (outputs persisted, reused by all trials;
+    # NOT timed — edge_build is timed per-trial below like every other op)
     edges = entrymod._co_edges(spark, sf_dir).persist()
     n_edges = edges.count()
-    samples["edge_build"].append(round(time.monotonic() - t0, 3))
     extra["n_edges"] = n_edges
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -94,6 +96,10 @@ def main() -> None:
     # dataframe plan at >= 8 — demoted to documented-reference status per
     # the r2 verdict criterion (modes-agree correctness stays pytest-pinned).
     ops = [
+        # fresh unpersisted build each trial: times scan + self-join +
+        # distinct end-to-end (the persisted copy above is untouched)
+        ("edge_build",
+         lambda: entrymod._co_edges(spark, sf_dir).count()),
         ("pagerank", run_pagerank),
         ("connected_components", run_cc),
         ("label_propagation",

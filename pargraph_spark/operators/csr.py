@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import os
 from collections import OrderedDict
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,15 +30,19 @@ from pyspark.sql import functions as F
 
 CSR_SCHEMA = "pid int, srcs array<long>, indptr array<long>, dsts array<long>"
 
-# Per-Python-worker LRU over decoded CSR blocks, keyed by (store, pid).
-# Spark reuses Python workers across tasks (spark.python.worker.reuse), so
-# after the first superstep most lookups hit this cache and the E-scale
-# block arrays never cross Arrow again — only the V-scale rank vector does.
-# The cap bounds worker memory when a worker ends up serving many pids;
-# a miss re-reads one pid's parquet from the shared store (cheap, local or
-# HDFS/S3-cached on a cluster).
+# Per-Python-worker LRU over decoded CSR blocks, keyed by
+# (store, generation, pid) where generation is the _SUCCESS marker's mtime:
+# rewriting a store at the SAME path (e.g. two csr runs in one Spark app)
+# changes the generation and busts stale entries — without it, reused
+# Python workers served the previous run's blocks and returned silently
+# wrong ranks (ADVICE r3). Spark reuses Python workers across tasks
+# (spark.python.worker.reuse), so after the first superstep most lookups
+# hit this cache and the E-scale block arrays never cross Arrow again —
+# only the V-scale rank vector does. The cap bounds worker memory when a
+# worker ends up serving many pids; a miss re-reads one pid's parquet from
+# the store (cheap: local NVMe or a shared mount).
 CSR_CACHE_BLOCKS = 16
-_BLOCK_CACHE: "OrderedDict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]]" = OrderedDict()
+_BLOCK_CACHE: "OrderedDict[tuple[str, int, int], list[dict]]" = OrderedDict()
 
 
 def _pack_csr(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -82,8 +84,14 @@ def write_csr_store(edges: DataFrame, num_blocks: int, path: str) -> None:
     Arrow and workers pull their pid's block lazily from the store,
     caching it process-side (see spmv_from_store) — the fix for round 2's
     CSR-mode bottleneck, where the cogroup re-sent the E-scale block
-    arrays through Arrow every superstep. On a cluster the store lives on
-    shared storage (HDFS/S3); locally, any temp dir."""
+    arrays through Arrow every superstep.
+
+    Constraint (ADVICE r3): readers use plain POSIX file I/O (os.stat +
+    local pyarrow), so ``path`` must be visible at the same path on every
+    executor — any temp dir in local mode, a shared mount (NFS / fuse-
+    mounted object store) on a cluster. URI schemes (hdfs://, s3a://) are
+    rejected up front rather than silently resolving to zero blocks."""
+    _check_local_store_path(path)
     (
         build_csr_blocks(edges, num_blocks)
         .repartition(num_blocks, "pid")
@@ -111,9 +119,34 @@ def _prep_block(srcs, indptr, dsts) -> dict:
     }
 
 
+def _check_local_store_path(path: str) -> None:
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"CSR store path {path!r} has a non-local URI scheme; the block "
+            "store requires a POSIX-visible path (executors read it with "
+            "os.stat + local pyarrow). Use a shared mount on a cluster."
+        )
+
+
 def _load_blocks(store: str, pid: int) -> list[dict]:
-    """This pid's prepped blocks, via the worker LRU."""
-    key = (store, pid)
+    """This pid's prepped blocks, via the worker LRU.
+
+    Raises if the store root is missing its parquet ``_SUCCESS`` marker —
+    an invisible or half-written store must FAIL, not silently cache an
+    empty block list and converge PageRank to the teleport vector
+    (ADVICE r3). A missing pid=K partition under a valid root is fine:
+    a pid no src hashes to legitimately has zero blocks."""
+    success = os.path.join(store, "_SUCCESS")
+    try:
+        gen = os.stat(success).st_mtime_ns
+    except OSError:
+        raise FileNotFoundError(
+            f"CSR store at {store!r} is missing its _SUCCESS marker — the "
+            "store was never written, is half-written, or is not visible "
+            "from this executor (it must be a shared POSIX path; see "
+            "write_csr_store)."
+        )
+    key = (store, gen, pid)
     hit = _BLOCK_CACHE.get(key)
     if hit is not None:
         _BLOCK_CACHE.move_to_end(key)
@@ -138,11 +171,17 @@ _EMPTY_MSGS = {"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64"
 
 
 def spmv_from_store(store: str, pid: int, ranks: pd.DataFrame) -> pd.DataFrame:
-    """Superstep kernel against the block store: this pid's messages,
-    pre-combined per block via the cached inverse index (semantically
-    identical to spmv_messages — same masking of srcs absent from the
-    rank vector, same per-dst partial sums; cross-block-row sums are left
-    to the JVM-side final aggregate)."""
+    """Partition-local gather+scatter superstep kernel against the block
+    store: this pid's PageRank messages
+        msg[dst] = Σ_{src→dst in block} rank[src] / outdeg[src]
+    pre-combined per block via the cached inverse index — the map-side
+    combine that shrinks the shuffle from E rows to Σ_blocks |unique
+    dsts|, the distributed analogue of the reference's masked semiring
+    SpMV (graphlib_graphblas.py:156-167). Srcs absent from the rank
+    vector are masked (an explicit `vertices` DataFrame may omit an edge
+    src; dataframe mode drops such edges via its inner join, so both
+    modes agree — ADVICE r1). Cross-block-row sums are left to the
+    JVM-side final aggregate."""
     blocks = _load_blocks(store, pid)
     if not blocks or ranks.empty:
         return pd.DataFrame(_EMPTY_MSGS)
@@ -173,66 +212,3 @@ def spmv_from_store(store: str, pid: int, ranks: pd.DataFrame) -> pd.DataFrame:
     if not out:
         return pd.DataFrame(_EMPTY_MSGS)
     return pd.concat(out, ignore_index=True)
-
-
-def spmv_messages(rank_pdfs: Iterable[pd.DataFrame], block_pdfs: Iterable[pd.DataFrame]):
-    """Partition-local gather+scatter kernel (cogroup side).
-
-    Given this pid's ranks (id, rank) and its CSR block, compute the
-    block's PageRank messages pre-combined by dst:
-        msg[dst] = Σ_{src→dst in block} rank[src] / outdeg[src]
-    The in-block combine (np.unique + bincount) is the map-side combine
-    that shrinks the shuffle from E rows to Σ_blocks |unique dsts| — the
-    distributed analogue of the reference's masked semiring SpMV
-    (graphlib_graphblas.py:156-167).
-    """
-    ranks = pd.concat(list(rank_pdfs), ignore_index=True) if rank_pdfs else pd.DataFrame()
-    blocks = [b for b in block_pdfs if not b.empty]
-    if not blocks or ranks.empty:
-        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")})
-    ids = ranks["id"].to_numpy(dtype=np.int64)
-    rs = ranks["rank"].to_numpy(dtype=np.float64)
-    sort = np.argsort(ids, kind="stable")
-    ids, rs = ids[sort], rs[sort]
-    out_dst: list[np.ndarray] = []
-    out_msg: list[np.ndarray] = []
-    for b in blocks:
-        for srcs, indptr, dsts in zip(b["srcs"], b["indptr"], b["dsts"]):
-            srcs = np.asarray(srcs, dtype=np.int64)
-            indptr = np.asarray(indptr, dtype=np.int64)
-            dsts = np.asarray(dsts, dtype=np.int64)
-            pos = np.searchsorted(ids, srcs)
-            # Guard the lookup: an explicit `vertices` DataFrame may omit an
-            # edge src, in which case pos is out of range or points at a
-            # different id. Dataframe mode drops such edges (inner join on
-            # src==id); mask them here so both modes agree (ADVICE r1).
-            deg = np.diff(indptr)
-            in_range = pos < len(ids)
-            pos_safe = np.where(in_range, pos, 0)
-            valid = in_range & (ids[pos_safe] == srcs)
-            rank_src = np.where(valid, rs[pos_safe], 0.0)
-            outdeg = deg.astype(np.float64)
-            per_src = rank_src / outdeg
-            per_edge = np.repeat(per_src, deg)
-            if not valid.all():
-                edge_mask = np.repeat(valid, deg)
-                dsts = dsts[edge_mask]
-                per_edge = per_edge[edge_mask]
-                if dsts.size == 0:
-                    continue
-            uniq, inv = np.unique(dsts, return_inverse=True)
-            sums = np.bincount(inv, weights=per_edge)
-            out_dst.append(uniq)
-            out_msg.append(sums)
-    if not out_dst:
-        # every block row of this pid was masked away (explicit-vertices
-        # scenario: all srcs absent from the rank vector) — np.concatenate
-        # on an empty list would raise (ADVICE r2)
-        return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")})
-    dst = np.concatenate(out_dst)
-    msg = np.concatenate(out_msg)
-    if len(out_dst) > 1:  # combine across multiple block rows of one pid
-        uniq, inv = np.unique(dst, return_inverse=True)
-        msg = np.bincount(inv, weights=msg)
-        dst = uniq
-    return pd.DataFrame({"dst": dst, "msg": msg})

@@ -198,7 +198,7 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, JobMetrics("pagerank"))
 
-    store_dir, store_is_tmp = None, False
+    store_dir = None
     if mode == "csr":
         # Materialize CSR blocks ONCE into a pid-partitioned parquet store.
         # Round 2 cogrouped a cached blocks DataFrame against the ranks,
@@ -206,12 +206,20 @@ def pagerank(
         # superstep (the measured CSR bottleneck, VERDICT r2 #2); with the
         # store, each superstep ships only the V-scale rank vector and
         # workers serve blocks from a process-local LRU (csr.py), falling
-        # back to a one-pid parquet read on a cache miss.
+        # back to a one-pid parquet read on a cache miss. The store dir is
+        # unique PER RUN (uuid suffix) so a later run in the same Spark app
+        # can never alias a prior run's worker-cache entries (ADVICE r3 —
+        # the fixed <checkpoint_dir>/csr_store path let reused Python
+        # workers serve the previous run's blocks); the store is transient
+        # (rebuilt from edges each run), so it is removed on exit either way.
+        import uuid
+
         if checkpoint_dir:
-            store_dir = os.path.join(checkpoint_dir, "csr_store")
+            store_dir = os.path.join(
+                checkpoint_dir, f"csr_store_{uuid.uuid4().hex[:12]}"
+            )
         else:
             store_dir = tempfile.mkdtemp(prefix="pargraph_csr_")
-            store_is_tmp = True
         write_csr_store(edges, P, store_dir)
 
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
@@ -345,6 +353,6 @@ def pagerank(
     # ref-count release of dead intermediates (engine.py:63-76).
     edges.unpersist()
     base.unpersist()
-    if store_is_tmp and store_dir:
+    if store_dir:
         shutil.rmtree(store_dir, ignore_errors=True)
     return PageRankResult(result, it, converged, metrics, deltas)

@@ -79,27 +79,35 @@ def stream_dedup_docs(
     schema: str = "doc_id long, ts timestamp, text string",
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming EXACT dedupe of a document feed: emit each distinct
     content fingerprint once (first arrival wins), duplicates within the
     watermark horizon dropped — the ingest-side dedup step of a training
     pipeline, running ahead of the batch MinHash/winnowing passes.
 
-    Built on dropDuplicates over the md5 content fingerprint with an
-    event-time watermark: Spark keeps one state row per fingerprint seen
-    within the horizon, so state is bounded by the dedup window, not the
-    stream length — the only formulation that survives an unbounded feed.
-    A duplicate arriving LATER than the watermark horizon re-emits (the
-    documented, bounded-state tradeoff; the batch exact_dedup pass is the
-    backstop). Appends (doc_id, fp, ts) to out_dir; exactly-once via the
-    file-sink commit log."""
+    Built on ``dropDuplicatesWithinWatermark`` over the md5 content
+    fingerprint: Spark keeps one state row per fingerprint and EVICTS it
+    once the watermark passes that event's time + the delay, so state is
+    bounded by the dedup window, not the stream length — the only
+    formulation that survives an unbounded feed. (Plain
+    ``dropDuplicates(["fp"])`` under a watermark does NOT evict — the
+    event-time column isn't part of the key — and grows with every
+    distinct fingerprint ever seen; the round-3 bug.) A duplicate
+    arriving LATER than the watermark horizon re-emits (the documented,
+    bounded-state tradeoff, asserted in tests/test_streaming.py; the
+    batch exact_dedup pass is the backstop). Appends (doc_id, fp, ts)
+    to out_dir; exactly-once via the file-sink commit log."""
     from pargraph_spark.functions.text import fingerprint
 
-    docs = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
     deduped = (
         docs.select("doc_id", "ts", fingerprint(F.col("text")).alias("fp"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
     )
     writer = (
         deduped.writeStream.format("parquet")

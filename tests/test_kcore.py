@@ -69,3 +69,72 @@ def test_validates_k(spark):
     edf = spark.createDataFrame([(0, 1)], EDGE_SCHEMA)
     with pytest.raises(ValueError, match="k >= 1"):
         kcore(spark, edf, 0)
+
+
+# ---------- core_numbers (full decomposition, H-index fixpoint) ----------
+
+
+def _py_core_numbers(edges):
+    """Textbook peel: repeatedly remove a min-degree vertex; coreness =
+    running max of the degree observed at removal time."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core: dict[int, int] = {}
+    k = 0
+    while adj:
+        v = min(adj, key=lambda x: len(adj[x]))
+        k = max(k, len(adj[v]))
+        core[v] = k
+        for n in adj[v]:
+            adj[n].discard(v)
+        del adj[v]
+    return core
+
+
+def test_core_numbers_small_known(spark):
+    # triangle {1,2,3} (coreness 2) + tail 3-4-5 (coreness 1)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    from pargraph_spark.operators.kcore import core_numbers
+
+    res = core_numbers(spark, spark.createDataFrame(edges, EDGE_SCHEMA),
+                       num_partitions=4)
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+    assert res.converged
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 40, 120), (13, 60, 90), (29, 25, 200)])
+def test_core_numbers_random_vs_python_oracle(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+    edges = [(s, d) for s, d in edges if s != d]
+    from pargraph_spark.operators.kcore import core_numbers
+
+    res = core_numbers(spark, spark.createDataFrame(edges, EDGE_SCHEMA),
+                       num_partitions=4)
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    assert got == _py_core_numbers(edges)
+    assert res.converged
+
+
+def test_core_numbers_fixed_rounds_identity_past_fixpoint(spark):
+    # fixed_rounds beyond the fixpoint must equal the adaptive result —
+    # the property the unrolled DuckDB oracle relies on
+    rng = random.Random(3)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
+             if s != d]
+    from pargraph_spark.operators.kcore import core_numbers
+
+    edf = spark.createDataFrame(edges, EDGE_SCHEMA)
+    adaptive = core_numbers(spark, edf, num_partitions=4)
+    fixed = core_numbers(spark, edf, num_partitions=4,
+                         fixed_rounds=adaptive.rounds + 2)
+    a = {r["id"]: r["core"] for r in adaptive.cores.collect()}
+    f = {r["id"]: r["core"] for r in fixed.cores.collect()}
+    assert a == f
+    assert not fixed.converged  # fixed mode never claims convergence

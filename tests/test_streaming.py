@@ -107,3 +107,57 @@ def test_stream_dedup_docs_first_arrival_wins(spark, tmp_path):
     out2 = spark.read.parquet(out_dir).collect()
     assert 6 not in {r["doc_id"] for r in out2}
     assert len(out2) == len(out)
+
+
+def test_stream_dedup_docs_reemits_past_watermark_horizon(spark, tmp_path):
+    """State-eviction semantics: a duplicate whose event time lies beyond
+    the watermark horizon of the original arrives AFTER the state row was
+    evicted and re-emits (the documented bounded-state tradeoff).
+
+    Drops are mtime-ordered with maxFilesPerTrigger=1 so the watermark
+    advances between micro-batches. The guarantee is one-sided AND
+    eviction runs at end-of-batch (after the state lookup), so TWO
+    advancer batches sit between the original and the late duplicate:
+    batch 2 advances the watermark past the original's expiry, batch 3
+    runs with that watermark and evicts the state row at its end, and
+    only then does the duplicate in batch 4 find no state and re-emit
+    (verified against the checkpoint offsets' batchWatermarkMs)."""
+    import time
+    from datetime import datetime, timedelta
+
+    from pargraph_spark.streaming.incremental import stream_dedup_docs
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, name))
+        time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    # batch 1: original content X at t0 -> emits, state expires at t0+1h
+    drop("d1", [(1, t0, "duplicate me")])
+    # batch 2: advancer at t0+4h -> watermark after this batch is t0+3h
+    drop("d2", [(2, t0 + timedelta(hours=4), "watermark advancer")])
+    # batch 3: runs WITH watermark t0+3h > t0+1h -> X's state row is
+    # evicted at this batch's end
+    drop("d3", [(9, t0 + timedelta(hours=4), "second advancer")])
+    # batch 4: duplicate of X, state gone -> re-emits
+    drop("d4", [(3, t0 + timedelta(hours=4), "duplicate me")])
+
+    q = stream_dedup_docs(
+        spark, in_dir + "/*", out_dir, ck, watermark="1 hour",
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir).collect()
+    emitted = sorted(r["doc_id"] for r in out)
+    # 1 emitted, advancers emitted, post-horizon duplicate 3 RE-emitted
+    assert emitted == [1, 2, 3, 9], emitted
+    fps = [r["fp"] for r in out if r["doc_id"] in (1, 3)]
+    assert fps[0] == fps[1]  # same content fingerprint, emitted twice

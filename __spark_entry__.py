@@ -245,6 +245,20 @@ def _q_kcore(spark, sf):
     return res.vertices.select("id", F.col("deg").cast("long").alias("deg"))
 
 
+CORE_ROUNDS = 21   # sf0.01 H-index fixpoint is 19 rounds; +2 identity margin
+
+
+def _q_core_numbers(spark, sf):
+    # full k-core decomposition: per-vertex core number via the H-index
+    # fixpoint (operators.kcore.core_numbers); both engines run exactly
+    # CORE_ROUNDS rounds — identity past the fixpoint, so this equals the
+    # true coreness (all-integer arithmetic => exact cross-engine)
+    from pargraph_spark.operators.kcore import core_numbers
+
+    res = core_numbers(spark, _co_edges(spark, sf), fixed_rounds=CORE_ROUNDS)
+    return res.cores.select("id", F.col("core").cast("long").alias("core"))
+
+
 def _q_sssp_4rounds(spark, sf):
     # weighted shortest paths over the co-occurrence graph: weights are
     # co-occurrence counts (BIGINT — min-plus sums stay exact integers, so
@@ -595,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_4hops": _q_bfs_4hops,
         "sssp_4rounds": _q_sssp_4rounds,
         "kcore": _q_kcore,
+        "core_numbers": _q_core_numbers,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -753,6 +768,34 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY u"
+    )
+
+
+def _core_numbers_sql(rounds: int) -> str:
+    """Unrolled H-index iteration mirroring operators.kcore.core_numbers:
+    c0 = degree; each round, per-vertex h-index of neighbor estimates via
+    the clamped histogram (LEAST(cv,cu) bounds values at the vertex's own
+    estimate — valid by monotonicity, and what the Spark plan does).
+    Identity past the fixpoint. DuckDB SUM() OVER returns HUGEINT — cast
+    back to BIGINT before LEAST so the output column type matches Spark."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        SYM_SQL,
+        f"c0 {m} (SELECT u AS id, count(*) AS c FROM sym GROUP BY u)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"c{r} {m} (SELECT u AS id, MAX(LEAST(cum, x)) AS c FROM ("
+            f"SELECT u, x, CAST(SUM(cnt) OVER (PARTITION BY u ORDER BY x DESC) AS BIGINT) AS cum "
+            f"FROM (SELECT s.u, LEAST(cv.c, cu.c) AS x, count(*) AS cnt "
+            f"FROM sym s JOIN c{p} cv ON s.v = cv.id JOIN c{p} cu ON s.u = cu.id "
+            f"GROUP BY s.u, LEAST(cv.c, cu.c)) h) g GROUP BY u)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(c AS BIGINT) AS core FROM c{rounds}"
     )
 
 
@@ -1247,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "wpagerank_5iter": _wpagerank_sql(5),
         "sssp_4rounds": _sssp_sql(4),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "core_numbers": _core_numbers_sql(CORE_ROUNDS),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -1,12 +1,21 @@
-"""Thin task-graph front-end: ``@delayed`` tracing, topological execution,
-JSON round-trip — the reference's primary UX re-expressed for Spark.
+"""Thin task-graph front-end: ``@delayed``/``@graph`` tracing, topological
+execution, JSON round-trip, Dask dict-graph ``get`` — the reference's
+primary UX re-expressed for Spark.
 
 Parity target (behavior, not mechanism):
 - ``@delayed`` tracing and composition of pure Python functions
-  (/root/reference/pargraph/graph/decorators.py:106-322);
-- operator overloads on traced values (decorators.py:374-517);
+  (/root/reference/pargraph/graph/decorators.py:219-322);
+- ``@graph`` composite (nested) tracing (decorators.py:105-217) — here a
+  graph-decorated body executes at trace time, so its sub-expression
+  flattens directly into the parent DAG (the reference reaches the same
+  flat form via its explode_subgraphs rewrite, objects.py:826-932);
+- the full operator-overload set on traced values (decorators.py:374-517);
+- named multi-outputs via ``Result`` return annotations
+  (annotation.py:5-72) with tuple unpacking;
 - executable-graph serialization with pickled callables —
-  ``to_json``/``from_json`` (objects.py:358-498, 264-273).
+  ``to_json``/``from_json`` (objects.py:358-498, 264-273);
+- Dask dict-graph execution: ``get({key: (fn, 'dep', ...)}, keys)``
+  (engine.py:149-212 semantics: tuple tasks, key refs, nested lists).
 
 Design stance (SURVEY.md §7.0): the reference needs a scheduler because
 its tasks ARE the computation; here a task's body is usually a DataFrame
@@ -17,6 +26,11 @@ fairness if needed). There is no dict-graph IR, no rewrite engine —
 Catalyst culls/fuses each node's plan; this module only orders node
 execution and memoizes shared dependencies (the diamond in a DAG runs
 once, like the reference's ref-counted futures, engine.py:42-129).
+Scheduling note: the threaded scheduler runs wave-barriers (all of a
+wave's nodes finish before the next wave starts) rather than the
+reference's FIRST_COMPLETED frontier (engine.py:80) — a straggler blocks
+ready nodes in the next wave; fine at driver scale where each node is a
+whole Spark job.
 
 Example::
 
@@ -36,17 +50,94 @@ from __future__ import annotations
 
 import base64
 import functools
+import inspect
 import json
 import operator
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable
+from typing import Annotated, Any, Callable, get_args, get_origin
 
 from pyspark import cloudpickle
 
 
+class Result:
+    """Annotate a function output with a name (reference annotation.py:5-31):
+
+    .. code:: python
+
+        @delayed
+        def stats(xs) -> tuple[Annotated[float, Result("mean")],
+                               Annotated[float, Result("max")]]:
+            ...
+        mean, mx = stats(data)   # two named Delayed outputs
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def get_name(self) -> str:
+        return self.name
+
+
+def _get_output_names(function: Callable):
+    """Output name(s) from the return annotation (reference
+    annotation.py:34-72 semantics): no/plain annotation -> "result";
+    Annotated[..., Result(n)] -> n; tuple[...] -> one name per element
+    (Result name or positional "result_i"), duplicates rejected."""
+    try:
+        # eval_str resolves PEP-563 string annotations (modules with
+        # `from __future__ import annotations`)
+        annotation = inspect.signature(function, eval_str=True).return_annotation
+    except (TypeError, ValueError, NameError):
+        # builtins / operator.* have no signature; unresolvable string
+        # annotations mean no declared outputs
+        return "result"
+    origin = get_origin(annotation)
+
+    def one(ann, fallback: str) -> str:
+        if get_origin(ann) is not Annotated:
+            return fallback
+        _, *meta = get_args(ann)
+        results = [m for m in meta if isinstance(m, Result)]
+        if len(results) != 1:
+            raise ValueError(
+                f"output with type '{ann}' must have exactly one Result annotation"
+            )
+        return results[0].get_name()
+
+    if origin is not tuple:
+        return one(annotation, "result")
+    names: list[str] = []
+    for i, arg in enumerate(get_args(annotation)):
+        name = one(arg, f"result_{i}")
+        if name in names:
+            raise ValueError(f"found duplicate output name '{name}'")
+        names.append(name)
+    return tuple(names)
+
+
+def _iter_deps(value: Any):
+    """Yield every Delayed reachable from an argument value, traversing
+    list/tuple/dict containers (dask-delayed style — ADVICE r3: a Delayed
+    nested in a container used to be silently treated as a constant)."""
+    if isinstance(value, Delayed):
+        yield value
+    elif isinstance(value, (list, tuple)):
+        for el in value:
+            yield from _iter_deps(el)
+    elif isinstance(value, dict):
+        for el in value.values():
+            yield from _iter_deps(el)
+
+
+def _node_deps(node: "Delayed"):
+    for v in list(node.args) + list(node.kwargs.values()):
+        yield from _iter_deps(v)
+
+
 class Delayed:
     """A traced call: ``fn(*args, **kwargs)`` whose arguments may be other
-    Delayed nodes. Building is free; nothing executes until compute()."""
+    Delayed nodes — directly, or nested inside list/tuple/dict containers.
+    Building is free; nothing executes until compute()."""
 
     __slots__ = ("fn", "args", "kwargs", "name")
 
@@ -64,57 +155,177 @@ class Delayed:
         return TaskGraph([self])
 
     # ---- ergonomics: operator overloads build further Delayed nodes -----
+    # (full reference set, decorators.py:374-517; __hash__ stays identity —
+    # the reference excludes hash overloading for the same purity reason)
     def _binop(self, op, other, swap=False):
         if swap:
             return Delayed(op, (other, self), {}, name=op.__name__)
         return Delayed(op, (self, other), {}, name=op.__name__)
 
-    def __add__(self, o):
-        return self._binop(operator.add, o)
-
-    def __radd__(self, o):
-        return self._binop(operator.add, o, swap=True)
-
-    def __sub__(self, o):
-        return self._binop(operator.sub, o)
-
-    def __rsub__(self, o):
-        return self._binop(operator.sub, o, swap=True)
-
-    def __mul__(self, o):
-        return self._binop(operator.mul, o)
-
-    def __rmul__(self, o):
-        return self._binop(operator.mul, o, swap=True)
-
-    def __truediv__(self, o):
-        return self._binop(operator.truediv, o)
-
-    def __rtruediv__(self, o):
-        return self._binop(operator.truediv, o, swap=True)
-
-    def __getitem__(self, k):
-        return self._binop(operator.getitem, k)
-
     def __repr__(self) -> str:  # pragma: no cover
         return f"Delayed({self.name})"
+
+    def __bool__(self) -> bool:
+        raise TypeError(
+            "Truth value of a Delayed node is undefined until compute(); "
+            "Python's and/or/if cannot be traced (same constraint as the "
+            "reference's GraphContext)."
+        )
+
+    def __iter__(self):
+        # Without this, tuple-unpacking a single-output node would fall
+        # back to the legacy __getitem__ sequence protocol and iterate
+        # forever (getitem traces ANY index). Multi-output unpacking works
+        # because tuple-annotated calls return a real tuple of nodes.
+        raise TypeError(
+            "Delayed is not iterable; declare multiple outputs with a "
+            "tuple return annotation (optionally Result-named) to unpack."
+        )
+
+    __hash__ = object.__hash__  # identity — defining __eq__ would drop it
+
+
+def _register_overloads() -> None:
+    binary = [
+        operator.add, operator.sub, operator.mul, operator.matmul,
+        operator.truediv, operator.floordiv, operator.mod, divmod,
+        operator.lshift, operator.rshift,
+        operator.and_, operator.xor, operator.or_,
+        operator.lt, operator.le, operator.eq, operator.ne,
+        operator.gt, operator.ge, operator.getitem,
+    ]
+    reflected = [
+        operator.add, operator.sub, operator.mul, operator.matmul,
+        operator.truediv, operator.floordiv, operator.mod, divmod,
+        operator.lshift, operator.rshift,
+        operator.and_, operator.xor, operator.or_,
+    ]
+    unary = [operator.neg, operator.pos, operator.abs, operator.invert]
+
+    def bin_meth(op):
+        def meth(self, other):
+            return self._binop(op, other)
+        return meth
+
+    def rbin_meth(op):
+        def meth(self, other):
+            return self._binop(op, other, swap=True)
+        return meth
+
+    def un_meth(op):
+        def meth(self):
+            return Delayed(op, (self,), {}, name=op.__name__)
+        return meth
+
+    for op in binary:
+        setattr(Delayed, f"__{op.__name__.strip('_')}__", bin_meth(op))
+    for op in reflected:
+        setattr(Delayed, f"__r{op.__name__.strip('_')}__", rbin_meth(op))
+    for op in unary:
+        setattr(Delayed, f"__{op.__name__.strip('_')}__", un_meth(op))
+
+    def _pow(self, other, mod=None):
+        if mod is None:
+            return self._binop(operator.pow, other)
+        return Delayed(pow, (self, other, mod), {}, name="pow")
+
+    def _rpow(self, other):
+        return self._binop(operator.pow, other, swap=True)
+
+    def _round(self, ndigits=None):
+        return Delayed(round, (self, ndigits), {}, name="round")
+
+    Delayed.__pow__ = _pow
+    Delayed.__rpow__ = _rpow
+    Delayed.__round__ = _round
+
+
+_register_overloads()
+
+
+def _wrap_call(fn: Callable, args: tuple, kwargs: dict):
+    """Build the Delayed node(s) for one traced call, honoring a tuple /
+    Result return annotation: multi-output functions return a tuple of
+    named getitem views over the single call node (reference
+    objects.py:1219-1227 unpacking UX)."""
+    names = _get_output_names(fn)
+    node = Delayed(fn, args, kwargs)
+    if isinstance(names, tuple):
+        return tuple(
+            Delayed(operator.getitem, (node, i), {}, name=nm)
+            for i, nm in enumerate(names)
+        )
+    return node
 
 
 def delayed(fn: Callable) -> Callable:
     """Decorator: calls build Delayed nodes instead of executing. Pure
-    functions only (same contract as the reference's @delayed)."""
+    functions only (same contract as the reference's @delayed). A tuple
+    return annotation (optionally with Result names) makes calls return a
+    tuple of Delayed outputs that unpack naturally."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        return Delayed(fn, args, kwargs)
+        return _wrap_call(fn, args, kwargs)
 
     wrapper.__wrapped__ = fn
     return wrapper
 
 
+def graph(function: Callable) -> Callable:
+    """Composite (nested-subgraph) tracing — the reference's ``@graph``
+    (decorators.py:105-217). The decorated body must be composed of
+    @delayed/@graph calls and overloaded expressions on its arguments.
+
+    Called with any Delayed argument: the body runs immediately at trace
+    time, so the sub-expression it builds flattens into the parent DAG
+    (the reference represents the nesting as a GraphCall node and offers
+    explode_subgraphs to flatten; here flat IS the representation — the
+    scheduler then sees maximum node-level parallelism).
+
+    Called with all-concrete arguments: the traced expression is computed
+    on the spot and the VALUE is returned — the reference's direct-call
+    short-circuit (decorators.py:131-133), which makes the metamorphic
+    identity `g(x) == g(delayed_x).compute()` hold by construction.
+
+    Variadic parameters are rejected, as in the reference
+    (decorators.py:121-124)."""
+    sig = inspect.signature(function)
+    for param in sig.parameters.values():
+        if param.kind in (inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.VAR_KEYWORD):
+            raise ValueError(
+                "Variadic positional and/or keyword arguments are not supported"
+            )
+
+    @functools.wraps(function)
+    def wrapper(*args, **kwargs):
+        traced = any(
+            True for v in list(args) + list(kwargs.values()) for _ in _iter_deps(v)
+        )
+        result = function(*args, **kwargs)
+        if traced:
+            return result
+        # direct call: materialize any Delayed the body built
+        return _materialize(result)
+
+    wrapper.__wrapped__ = function
+    return wrapper
+
+
+def _materialize(result):
+    if isinstance(result, Delayed):
+        return result.compute()
+    if isinstance(result, tuple) and any(isinstance(r, Delayed) for r in result):
+        roots = [r for r in result if isinstance(r, Delayed)]
+        values = iter(compute(*roots))
+        return tuple(next(values) if isinstance(r, Delayed) else r for r in result)
+    return result
+
+
 def _walk(roots: list[Delayed]) -> list[Delayed]:
     """Deterministic post-order over the DAG (dependencies first), each
-    node once (by identity — a shared dependency is a single node)."""
+    node once (by identity — a shared dependency is a single node).
+    Container arguments (list/tuple/dict) are traversed."""
     order: list[Delayed] = []
     seen: set[int] = set()
 
@@ -122,9 +333,8 @@ def _walk(roots: list[Delayed]) -> list[Delayed]:
         if id(node) in seen:
             return
         seen.add(id(node))
-        for dep in list(node.args) + list(node.kwargs.values()):
-            if isinstance(dep, Delayed):
-                visit(dep)
+        for dep in _node_deps(node):
+            visit(dep)
         order.append(node)
 
     for r in roots:
@@ -140,14 +350,24 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
     Spark counterpart of the reference's process backends, which would
     only add pickling overhead around JVM-side work).
     scheduler="sync" runs nodes sequentially in topological order.
-    Shared nodes are computed exactly once (memoized per compute call)."""
+    Shared nodes are computed exactly once (memoized per compute call).
+    Delayed nodes nested inside list/tuple/dict arguments are resolved
+    in place (the container is rebuilt with results substituted)."""
     if scheduler not in ("threads", "sync"):
         raise ValueError(f"unknown scheduler {scheduler!r}")
     order = _walk(list(roots))
     results: dict[int, Any] = {}
 
     def resolve(v):
-        return results[id(v)] if isinstance(v, Delayed) else v
+        if isinstance(v, Delayed):
+            return results[id(v)]
+        if isinstance(v, list):
+            return [resolve(el) for el in v]
+        if isinstance(v, tuple):
+            return tuple(resolve(el) for el in v)
+        if isinstance(v, dict):
+            return {k: resolve(el) for k, el in v.items()}
+        return v
 
     def run(node: Delayed):
         args = [resolve(a) for a in node.args]
@@ -164,11 +384,7 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
             while remaining:
                 ready = [
                     n for n in remaining
-                    if all(
-                        id(d) in results
-                        for d in list(n.args) + list(n.kwargs.values())
-                        if isinstance(d, Delayed)
-                    )
+                    if all(id(d) in results for d in _node_deps(n))
                 ]
                 futures = {id(n): pool.submit(run, n) for n in ready}
                 for n in ready:
@@ -177,13 +393,101 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
     return [results[id(r)] for r in roots]
 
 
+# ---------------------------------------------------------------------------
+# Dask dict-graph compatibility (reference engine.py:149-212, README.md:160)
+# ---------------------------------------------------------------------------
+
+
+def _is_task(value: Any) -> bool:
+    return isinstance(value, tuple) and len(value) > 0 and callable(value[0])
+
+
+def get(dsk: dict, keys, scheduler: str = "threads", max_workers: int = 8):
+    """Execute a Dask-style dict graph — the reference's drop-in-for-Dask
+    entry point (``engine.get``). Semantics mirrored from the reference's
+    engine (and Dask's spec): a value that is a tuple with a callable head
+    is a task; task arguments may be keys of the graph (hashable values
+    present as keys), nested tasks, or lists of these; any other value is
+    a literal. ``keys`` is one key or an arbitrarily nested list of keys;
+    the result has the same shape. Shared dependencies compute once; a
+    reference cycle raises ValueError (reference tests/test_engine.py
+    shapes: literals, nested tasks, list aggregation)."""
+    memo: dict[Any, Any] = {}
+    visiting: set = set()
+
+    def build_key(key):
+        if key in memo:
+            return memo[key]
+        if key in visiting:
+            raise ValueError(f"cycle detected in graph at key {key!r}")
+        visiting.add(key)
+        node = build_val(dsk[key])
+        visiting.discard(key)
+        memo[key] = node
+        return node
+
+    def build_val(value):
+        if _is_task(value):
+            fn, *args = value
+            return Delayed(
+                fn, tuple(build_val(a) for a in args), {},
+                name=getattr(fn, "__name__", "task"),
+            )
+        if isinstance(value, list):
+            # lists act as containers; compute() resolves nested Delayed
+            return [build_val(el) for el in value]
+        try:
+            if value in dsk:
+                return build_key(value)
+        except TypeError:  # unhashable literal
+            pass
+        return value
+
+    def shape(ks):
+        if isinstance(ks, list):
+            return [shape(k) for k in ks]
+        if ks not in dsk:
+            raise KeyError(f"key {ks!r} not in graph")
+        return build_key(ks)
+
+    built = shape(keys)
+
+    # one compute() over every Delayed root for shared-dependency memoization
+    roots: list[Delayed] = []
+
+    def collect(v):
+        if isinstance(v, Delayed):
+            roots.append(v)
+        elif isinstance(v, list):
+            for el in v:
+                collect(el)
+
+    collect(built)
+    if roots:
+        values = compute(*roots, scheduler=scheduler, max_workers=max_workers)
+        resolved = dict(zip((id(r) for r in roots), values))
+    else:
+        resolved = {}
+
+    def unbuild(v):
+        if isinstance(v, Delayed):
+            return resolved[id(v)]
+        if isinstance(v, list):
+            return [unbuild(el) for el in v]
+        return v
+
+    return unbuild(built)
+
+
 class TaskGraph:
     """A set of root Delayed nodes with a portable JSON form.
 
     to_json pickles each node's callable (pyspark's cloudpickle — the
     same serializer the reference uses for Const/graph round-trips,
     objects.py:264-273) and every non-Delayed argument, base64-wrapped in
-    a plain-JSON node list; from_json rebuilds an executable graph.
+    a plain-JSON node list; containers (list/tuple/dict) are encoded
+    structurally so Delayed refs inside them survive the round trip.
+    from_json rebuilds an executable graph.
     SECURITY: from_json executes pickled code on compute — only load
     artifacts you wrote (same trust model as the reference's from_json).
     """
@@ -202,6 +506,12 @@ class TaskGraph:
         def enc_val(v) -> dict:
             if isinstance(v, Delayed):
                 return {"ref": ids[id(v)]}
+            if isinstance(v, list):
+                return {"list": [enc_val(el) for el in v]}
+            if isinstance(v, tuple):
+                return {"tuple": [enc_val(el) for el in v]}
+            if isinstance(v, dict) and all(isinstance(k, str) for k in v):
+                return {"dict": {k: enc_val(el) for k, el in v.items()}}
             return {"pickle": base64.b64encode(cloudpickle.dumps(v)).decode()}
 
         nodes = [
@@ -226,6 +536,12 @@ class TaskGraph:
         def dec_val(v: dict):
             if "ref" in v:
                 return built[v["ref"]]
+            if "list" in v:
+                return [dec_val(el) for el in v["list"]]
+            if "tuple" in v:
+                return tuple(dec_val(el) for el in v["tuple"])
+            if "dict" in v:
+                return {k: dec_val(el) for k, el in v["dict"].items()}
             return cloudpickle.loads(base64.b64decode(v["pickle"]))
 
         for nd in doc["nodes"]:  # nodes are stored dependencies-first
@@ -243,8 +559,7 @@ class TaskGraph:
         lines = ["digraph tasks {", "  rankdir=LR;"]
         for n in order:
             lines.append(f'  n{ids[id(n)]} [label="{n.name}"];')
-            for d in list(n.args) + list(n.kwargs.values()):
-                if isinstance(d, Delayed):
-                    lines.append(f"  n{ids[id(d)]} -> n{ids[id(n)]};")
+            for d in _node_deps(n):
+                lines.append(f"  n{ids[id(d)]} -> n{ids[id(n)]};")
         lines.append("}")
         return "\n".join(lines)

@@ -89,16 +89,49 @@ def host_graph(extracted: DataFrame) -> DataFrame:
     map-side partial counts absorb the intra-host skew. Intra-host links
     (src_host == dst_host) are KEPT (w on the diagonal is the site's
     internal link mass); filter them out for inter-site analyses."""
-    e = edge_urls(extracted).dropDuplicates(["src_url", "dst_url"])
     return (
-        e.select(
-            F.lower(F.parse_url("src_url", F.lit("HOST"))).alias("src_host"),
-            F.lower(F.parse_url("dst_url", F.lit("HOST"))).alias("dst_host"),
-        )
-        .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+        host_pairs(extracted)
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("w"))
     )
+
+
+def host_pairs(extracted: DataFrame) -> DataFrame:
+    """Page-deduped (src_host, dst_host) link pairs, one row per distinct
+    page-level link — the pre-aggregation input shared by host_graph and
+    host_reach. All JVM-side (F.parse_url)."""
+    e = edge_urls(extracted).dropDuplicates(["src_url", "dst_url"])
+    return e.select(
+        F.lower(F.parse_url("src_url", F.lit("HOST"))).alias("src_host"),
+        F.lower(F.parse_url("dst_url", F.lit("HOST"))).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+
+
+def host_reach(pairs: DataFrame, rsd: float = 0.05, exact: bool = False) -> DataFrame:
+    """Per-host distinct out-link reach: how many DISTINCT hosts each host
+    links to — the standard cardinality view next to the exact degree
+    tables (VERDICT r3 #7; SURVEY §2.2 approx-aggs tier made real).
+
+    Approximate tier (default): HyperLogLog++ sketches via
+    ``approx_count_distinct(dst_host, rsd)``. This is the 100-TB move:
+    each map task folds its rows into a FIXED-SIZE sketch (bounded by the
+    register count ~1.04²/rsd², not by cardinality), sketches merge in
+    the partial aggregate, and the shuffle carries one sketch per host —
+    no (src_host, dst_host) distinct-pair shuffle at edge scale, which is
+    what the exact tier pays. Error is a random variable with relative
+    standard deviation `rsd` (not a bound — per-host error can exceed it;
+    tolerance-gated in tests/test_edges.py, deliberately NOT a DuckDB
+    value-oracle since sketch internals differ across engines).
+
+    exact=True runs count(DISTINCT dst_host) instead — same output
+    schema, exact values, pair-scale shuffle. Input is host_pairs(...)
+    (or any (src_host, dst_host) frame)."""
+    agg = (
+        F.count_distinct("dst_host")
+        if exact
+        else F.approx_count_distinct("dst_host", rsd)
+    )
+    return pairs.groupBy("src_host").agg(agg.alias("reach"))
 
 
 def host_edges_ids(hosts: DataFrame) -> DataFrame:

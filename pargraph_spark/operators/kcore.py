@@ -125,18 +125,20 @@ def core_numbers(
     lpa_full pattern), and any correct engine agrees bit-for-bit (all
     integer arithmetic).
 
-    Plan shape per round (skew-proof — no per-vertex sort over raw
-    neighbor lists): neighbor estimates are CLAMPED at the vertex's own
-    current estimate (valid because H_{t+1}(u) ≤ c_t(u), monotonicity)
-    and histogrammed by (u, clamped value) with a partial-combined count,
-    so the per-vertex window that extracts the h-index runs over at most
-    c_t(u)+1 rows — bounded by CORENESS, not degree. A 10^8-degree hub
-    contributes 10^8 rows only to the map-side-combined groupBy (which
-    Spark partial-aggregates before the shuffle); the window never sees
-    more rows per vertex than the graph's degeneracy (~hundreds on web
-    graphs). The alternative row_number-over-neighbors formulation
-    serializes a hub's entire adjacency through one task — the 100-TB
-    trap this formulation exists to avoid.
+    Plan shape per round (skew-proof, ZERO E-scale exchanges): the only
+    E-scale operation is sym ⋈ estimates on v — co-partitioned (sym is
+    pre-partitioned on v, estimates on id), so no exchange — feeding a
+    groupBy(u, value) histogram whose map-side partial combine shrinks
+    rows to |distinct values per u| BEFORE its shuffle. Neighbor values
+    are then CLAMPED at the vertex's own current estimate (valid because
+    H_{t+1}(u) ≤ c_t(u), by monotonicity) via a histogram-scale join and
+    re-combined, so the per-vertex window that extracts the h-index runs
+    over at most c_t(u)+1 rows — bounded by CORENESS, not degree. A
+    10^8-degree hub contributes its adjacency only to the map-side
+    combine; nothing downstream sees more rows per vertex than the
+    graph's degeneracy (~hundreds on web graphs). The alternative
+    row_number-over-raw-neighbors formulation serializes a hub's entire
+    adjacency through one task — the 100-TB trap this plan avoids.
 
     fixed_rounds: run exactly that many rounds with no convergence jobs
     (for oracle parity; the result's `converged` flag stays False because
@@ -169,12 +171,16 @@ def core_numbers(
         t0 = time.monotonic()
         cv = est.select(F.col("id").alias("v"), F.col("c").alias("_cv"))
         cu = est.select(F.col("id").alias("u"), F.col("c").alias("_cu"))
-        hist = (
-            sym.join(cv, "v")
-            .join(cu, "u")
-            .select("u", F.least("_cv", "_cu").alias("x"))
+        raw = (
+            sym.join(cv, "v")  # co-partitioned on v: no exchange
+            .groupBy("u", F.col("_cv").alias("xv"))
+            .agg(F.count("*").alias("cnt"))  # partial combine eats E-scale
+        )
+        hist = (  # clamp at own estimate AFTER histogramming (commutes)
+            raw.join(cu, "u")
+            .select("u", F.least("xv", "_cu").alias("x"), "cnt")
             .groupBy("u", "x")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("cnt").alias("cnt"))
         )
         new_est = (
             hist.withColumn("cum", F.sum("cnt").over(w))

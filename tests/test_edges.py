@@ -171,3 +171,46 @@ def test_host_graph_rollup_matches_python(spark):
     he = host_edges_ids(host_graph(ext))
     res = pagerank(spark, he, weight_col="w", num_partitions=4, max_iter=10, tol=0.0)
     assert res.ranks.count() == len({h for pair in want for h in pair})
+
+
+def test_host_reach_hll_within_tolerance(spark):
+    # approximate tier: per-host HLL reach within tolerance of the truth.
+    # rsd is a standard deviation, not a bound — gate at 4x rsd per host
+    # (≈4σ; cardinalities span HLL++'s sparse/exact and dense regimes)
+    from pargraph_spark.operators.edges import host_reach
+
+    truth = {"a.com": 3, "b.com": 50, "c.com": 700, "d.com": 4000}
+    rows = []
+    for h, n in truth.items():
+        for i in range(n):
+            rows.append((h, f"t{i}.example"))
+            if i % 3 == 0:  # duplicates must not inflate reach
+                rows.append((h, f"t{i}.example"))
+    pairs = spark.createDataFrame(rows, "src_host string, dst_host string")
+    rsd = 0.05
+    approx = {r["src_host"]: r["reach"]
+              for r in host_reach(pairs, rsd=rsd).collect()}
+    assert set(approx) == set(truth)
+    for h, n in truth.items():
+        assert abs(approx[h] - n) <= max(1, 4 * rsd * n), (h, approx[h], n)
+
+    exact = {r["src_host"]: r["reach"]
+             for r in host_reach(pairs, exact=True).collect()}
+    assert exact == truth
+
+
+def test_host_reach_from_pages_pipeline(spark):
+    # end-to-end over synthetic pages: approx tier keys match the exact
+    # tier's keys and sparse-regime counts are exact
+    from pargraph_spark.operators.edges import host_pairs, host_reach
+    from pargraph_spark.operators.extract_links import extract_links
+    from pargraph_spark.synth import pages_df_local
+
+    pairs = host_pairs(extract_links(pages_df_local(spark, 120))).persist()
+    approx = {r["src_host"]: r["reach"] for r in host_reach(pairs).collect()}
+    exact = {r["src_host"]: r["reach"]
+             for r in host_reach(pairs, exact=True).collect()}
+    pairs.unpersist()
+    assert approx.keys() == exact.keys() and exact
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(1, 0.2 * n), (h, approx[h], n)

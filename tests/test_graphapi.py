@@ -9,7 +9,15 @@ from __future__ import annotations
 
 import json
 
-from pargraph_spark.graphapi import Delayed, TaskGraph, compute, delayed
+from typing import Annotated
+
+from pargraph_spark.graphapi import (
+    Delayed,
+    Result,
+    TaskGraph,
+    compute,
+    delayed,
+)
 
 
 @delayed
@@ -115,3 +123,160 @@ def test_compute_on_spark_dataframes(spark):
     got = compute(total(n), total(n.compute().where("id < 10")))
     assert got[0] == 9900
     assert got[1] == 90
+
+
+# ------------- round-4 surface: @graph, overloads, Result, get -------------
+
+
+def test_full_overload_set():
+    @delayed
+    def val(x):
+        return x
+
+    v = val(7)
+    cases = [
+        (v ** 2, 49), (2 ** v, 128), (v % 4, 3), (v // 2, 3),
+        (v << 1, 14), (v >> 1, 3), (v & 3, 3), (v ^ 1, 6), (v | 8, 15),
+        (v < 8, True), (v <= 7, True), (v == 7, True), (v != 7, False),
+        (v > 8, False), (v >= 7, True), (-v, -7), (+v, 7), (abs(-v), 7),
+        (~v, -8), (round(val(7.456), 1), 7.5),
+        (10 - v, 3), (divmod(v, 4), (1, 3)), (divmod(9, val(4)), (2, 1)),
+    ]
+    for node, want in cases:
+        assert node.compute(scheduler="sync") == want, node.name
+
+
+def test_pow_three_arg():
+    @delayed
+    def val(x):
+        return x
+
+    assert pow(val(3), 4, 5).compute() == 1  # 81 mod 5
+
+
+def test_delayed_truthiness_raises():
+    import pytest
+
+    @delayed
+    def val(x):
+        return x
+
+    with pytest.raises(TypeError, match="Truth value"):
+        bool(val(1))
+    with pytest.raises(TypeError, match="Truth value"):
+        if val(1) == 1:  # == builds a node; `if` must refuse to guess
+            pass
+
+
+def test_result_named_multi_outputs():
+    # NOTE: Annotated/Result must be importable from this MODULE's globals
+    # for eval_str to resolve the PEP-563 string annotation
+    @delayed
+    def stats(xs) -> tuple[
+        Annotated[float, Result("mean")], Annotated[float, Result("mx")]
+    ]:
+        return (sum(xs) / len(xs), max(xs))
+
+    mean, mx = stats([1.0, 2.0, 3.0])
+    assert mean.name == "mean" and mx.name == "mx"
+    assert mean.compute() == 2.0 and mx.compute() == 3.0
+    # both outputs resolve from ONE underlying call node
+    assert mean.args[0] is mx.args[0]
+
+
+def test_graph_nested_two_level_metamorphic():
+    # the reference's metamorphic oracle (test_graph_generation.py:24-35):
+    # traced+executed == directly called — over a nested two-level graph
+    # with operator overloads
+    from pargraph_spark.graphapi import graph
+
+    @delayed
+    def add(a, b):
+        return a + b
+
+    @delayed
+    def mul(a, b):
+        return a * b
+
+    @graph
+    def affine(x, w, b):        # level 1: delayed calls + overloads
+        return add(mul(x, w), b) + 0
+
+    @graph
+    def two_layer(x):           # level 2: composes level-1 graphs
+        h = affine(x, 2, 3)
+        return affine(h, 5, -1)
+
+    # direct call with concrete args returns the VALUE
+    assert two_layer(4) == (4 * 2 + 3) * 5 - 1
+
+    @delayed
+    def source():
+        return 4
+
+    node = two_layer(source())  # traced: flattens into the parent DAG
+    assert node.compute() == two_layer(4)
+    # JSON round-trip of the nested graph replays correctly
+    from pargraph_spark.graphapi import TaskGraph
+
+    assert TaskGraph.from_json(node.to_graph().to_json()).compute() == [
+        two_layer(4)
+    ]
+
+
+def test_graph_rejects_variadic():
+    import pytest
+
+    from pargraph_spark.graphapi import graph
+
+    with pytest.raises(ValueError, match="Variadic"):
+        @graph
+        def bad(*xs):
+            return xs
+
+
+def test_delayed_inside_containers():
+    # ADVICE r3: Delayed nested in list/tuple/dict args must be resolved,
+    # not passed through as an unexecuted node
+    @delayed
+    def val(x):
+        return x
+
+    @delayed
+    def agg(parts, named):
+        return sum(parts) + named["extra"]
+
+    node = agg([val(1), 2, val(3)], {"extra": val(10)})
+    assert node.compute() == 16
+    assert node.compute(scheduler="sync") == 16
+    # containers survive the JSON round-trip with refs intact
+    from pargraph_spark.graphapi import TaskGraph
+
+    assert TaskGraph.from_json(node.to_graph().to_json()).compute() == [16]
+
+
+def test_dask_get_reference_engine_shapes():
+    # the reference's own engine test graphs (tests/test_engine.py:44-59):
+    # literals, tasks, list aggregation, nested keys, nested tasks, cycles
+    import pytest
+
+    from pargraph_spark.graphapi import get
+
+    def add(a, b):
+        return a + b
+
+    graph = {"x": 1, "y": 2, "z": (add, "x", "y"), "w": (sum, ["x", "y", "z"])}
+    assert get(graph, "x") == 1
+    assert get(graph, "z") == 3
+    assert get(graph, "w") == 6
+    assert get(graph, ["x", "y", "z"]) == [1, 2, 3]
+    assert get(graph, [["x", "y"], ["z", "w"]]) == [[1, 2], [3, 6]]
+
+    with pytest.raises(ValueError, match="cycle"):
+        get({"a": "b", "b": "c", "c": "a"}, "a")
+
+    nested = {"x": 1, "y": 2, "z": (add, (add, "x", "y"), (add, "x", "y"))}
+    assert get(nested, "z") == 6
+
+    with pytest.raises(KeyError):
+        get(graph, "missing")

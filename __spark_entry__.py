@@ -246,6 +246,22 @@ def _q_kcore(spark, sf):
 
 
 CORE_ROUNDS = 21   # sf0.01 H-index fixpoint is 19 rounds; +2 identity margin
+NS_SEED_MOD = 53   # neighbor-sample seeds: src % 53 == 0
+NS_FANOUTS = [3, 2]
+
+
+def _q_neighbor_sample(spark, sf):
+    # GraphSAGE-style 2-hop deterministic neighborhood sample over the
+    # co-occurrence graph: md5-ranked per-edge draw, fanouts [3, 2]
+    # (operators.sampling.neighbor_sample — stable under repartitioning,
+    # so the DuckDB oracle is the identical md5 rank)
+    from pargraph_spark.operators.sampling import neighbor_sample
+
+    e = _co_edges(spark, sf)
+    seeds = e.select(F.col("src").alias("id")).where(
+        F.col("id") % NS_SEED_MOD == 0
+    ).distinct()
+    return neighbor_sample(e, seeds, NS_FANOUTS)
 
 
 def _q_core_numbers(spark, sf):
@@ -257,6 +273,21 @@ def _q_core_numbers(spark, sf):
 
     res = core_numbers(spark, _co_edges(spark, sf), fixed_rounds=CORE_ROUNDS)
     return res.cores.select("id", F.col("core").cast("long").alias("core"))
+
+
+def _q_degree_assortativity(spark, sf):
+    # Pearson degree correlation over the co-occurrence graph (binary-grid
+    # quantized — floor on 2^30, no decimal-round midpoint hazard)
+    from pargraph_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(_co_edges(spark, sf))
+
+
+def _q_knn_profile(spark, sf):
+    # average-neighbor-degree profile knn(k) per degree value
+    from pargraph_spark.operators.graphstats import avg_neighbor_degree_profile
+
+    return avg_neighbor_degree_profile(_co_edges(spark, sf))
 
 
 def _q_sssp_4rounds(spark, sf):
@@ -610,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_4rounds": _q_sssp_4rounds,
         "kcore": _q_kcore,
         "core_numbers": _q_core_numbers,
+        "neighbor_sample_2hop": _q_neighbor_sample,
+        "degree_assortativity": _q_degree_assortativity,
+        "knn_profile": _q_knn_profile,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -769,6 +803,68 @@ def _kcore_sql(k: int, rounds: int) -> str:
         "WITH " + ", ".join(parts)
         + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY u"
     )
+
+
+_GRAPHSTATS_J_SQL = (
+    "deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u), "
+    "j AS MATERIALIZED (SELECT s.u, s.v, a.deg AS du, b.deg AS dv "
+    "FROM sym s JOIN deg a ON s.u = a.id JOIN deg b ON s.v = b.id)"
+)
+_G30 = "1073741824.0"  # 2^30 — binary grid, exact IEEE scaling
+
+
+def _assortativity_sql() -> str:
+    """Mirrors operators.graphstats.degree_assortativity: HUGEINT moment
+    sums (≙ Spark's decimal(38,0) — both exact and order-independent),
+    then the identical composed double expression, floor-quantized on the
+    2^30 grid (floor has no midpoint; decimal round() differs cross-engine)."""
+    return (
+        f"WITH {E_SQL}, {SYM_SQL}, {_GRAPHSTATS_J_SQL}, "
+        "agg AS (SELECT count(*) AS m, "
+        "SUM(CAST(du AS HUGEINT)) AS sx, SUM(CAST(dv AS HUGEINT)) AS sy, "
+        "SUM(CAST(du AS HUGEINT) * dv) AS sxy, "
+        "SUM(CAST(du AS HUGEINT) * du) AS sxx, "
+        "SUM(CAST(dv AS HUGEINT) * dv) AS syy FROM j) "
+        "SELECT CAST(m AS BIGINT) AS n_edges_directed, "
+        f"FLOOR(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) "
+        f"* {_G30}) / {_G30} AS rq FROM agg"
+    )
+
+
+def _knn_profile_sql() -> str:
+    return (
+        f"WITH {E_SQL}, {SYM_SQL}, {_GRAPHSTATS_J_SQL} "
+        "SELECT du AS deg, CAST(count(*) AS BIGINT) AS n_endpoints, "
+        "FLOOR((CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
+        f"* {_G30}) / {_G30} AS knnq FROM j GROUP BY du"
+    )
+
+
+def _neighbor_sample_sql(seed_mod: int, fanouts: list[int], salt: str = "gs") -> str:
+    """Unrolled per-hop md5-ranked neighbor sampling mirroring
+    operators.sampling.neighbor_sample: rank = md5('salt|src|dst|hop')
+    (Spark md5 over the binary cast of the same concat_ws string produces
+    the same lowercase hex), top-fanout per frontier vertex, next
+    frontier = distinct sampled dsts."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        f"f0 {m} (SELECT DISTINCT src AS id FROM e WHERE src % {seed_mod} = 0)",
+    ]
+    for hop, fan in enumerate(fanouts):
+        parts.append(
+            f"h{hop} {m} (SELECT CAST({hop} AS INTEGER) AS hop, src, dst FROM ("
+            f"SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src ORDER BY "
+            f"md5('{salt}|' || CAST(e.src AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR) || '|{hop}'), e.dst) AS rn "
+            f"FROM e JOIN f{hop} f ON e.src = f.id) WHERE rn <= {fan})"
+        )
+        parts.append(f"f{hop + 1} {m} (SELECT DISTINCT dst AS id FROM h{hop})")
+    union = " UNION ALL ".join(
+        f"SELECT hop, src, dst FROM h{h}" for h in range(len(fanouts))
+    )
+    return "WITH " + ", ".join(parts) + " " + union
 
 
 def _core_numbers_sql(rounds: int) -> str:
@@ -1291,6 +1387,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_4rounds": _sssp_sql(4),
         "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
         "core_numbers": _core_numbers_sql(CORE_ROUNDS),
+        "neighbor_sample_2hop": _neighbor_sample_sql(NS_SEED_MOD, NS_FANOUTS),
+        "degree_assortativity": _assortativity_sql(),
+        "knn_profile": _knn_profile_sql(),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -551,6 +551,108 @@ class TaskGraph:
             built[nd["id"]] = Delayed(fn, args, kwargs, name=nd["name"])
         return cls([built[i] for i in doc["roots"]])
 
+    # ---- user-invocable rewrites (reference objects.py:653-932) --------
+    # The reference's four rewrites map onto this model as: cull and
+    # fuse_sequential below; explode_subgraphs is inherent (@graph traces
+    # flat, so there is nothing to explode); stabilize is inherent too —
+    # to_json ids come from the deterministic post-order walk, never
+    # uuids, so the same graph always serializes with the same node ids.
+
+    def cull(self, keep: list[int] | None = None) -> "TaskGraph":
+        """Drop every node not reachable from the kept roots (reference
+        objects.py:763-807). ``keep`` selects root indices (default: all).
+        Non-mutating — returns a new TaskGraph; because a TaskGraph is
+        DEFINED by its roots and every traversal walks from them,
+        culling is just re-rooting: nodes feeding only dropped roots
+        vanish from compute/to_json/to_dot automatically."""
+        roots = self.roots if keep is None else [self.roots[i] for i in keep]
+        return TaskGraph(list(roots))
+
+    def fuse_sequential(self) -> "TaskGraph":
+        """Fuse linear chains into single composite nodes (reference
+        objects.py:809-932): a non-root node consumed by exactly ONE
+        other node, all of whose other arguments are constants, is
+        merged into its consumer — A→B→C→D becomes A→F where
+        F = B∘C∘D. Non-mutating: returns a new TaskGraph over rebuilt
+        nodes; results are unchanged (pytest-pinned), only scheduling
+        granularity coarsens. Useful when many tiny driver-side nodes
+        (e.g. overload arithmetic) would otherwise each pay a wave
+        dispatch; DataFrame nodes gain nothing (Catalyst already fuses
+        the plans) but lose nothing either. Nodes whose consumer holds
+        them inside a container argument are left unfused."""
+        roots = set(id(r) for r in self.roots)
+
+        def one_pass(rs: list[Delayed]) -> tuple[list[Delayed], bool]:
+            order = _walk(rs)
+            consumers: dict[int, list[Delayed]] = {}
+            for n in order:
+                for d in _node_deps(n):
+                    consumers.setdefault(id(d), []).append(n)
+            rebuilt: dict[int, Delayed] = {}
+            fused_any = False
+
+            def sub(v, mapping):
+                if isinstance(v, Delayed):
+                    return mapping[id(v)]
+                if isinstance(v, list):
+                    return [sub(el, mapping) for el in v]
+                if isinstance(v, tuple):
+                    return tuple(sub(el, mapping) for el in v)
+                if isinstance(v, dict):
+                    return {k: sub(el, mapping) for k, el in v.items()}
+                return v
+
+            for n in order:
+                args = tuple(sub(a, rebuilt) for a in n.args)
+                kwargs = {k: sub(v, rebuilt) for k, v in n.kwargs.items()}
+                # fusable parent: a DIRECT arg that is this node's only
+                # consumer use, not a root, and n's only Delayed dep
+                direct = [a for a in args if isinstance(a, Delayed)] + [
+                    v for v in kwargs.values() if isinstance(v, Delayed)
+                ]
+                deps = set(id(d) for d in _node_deps(Delayed(n.fn, args, kwargs)))
+                parent = None
+                if len(deps) == 1 and direct and len(set(id(d) for d in direct)) == 1:
+                    cand = direct[0]
+                    orig = n.args + tuple(n.kwargs.values())
+                    orig_parent = next(
+                        (a for a in orig if isinstance(a, Delayed)), None
+                    )
+                    if (
+                        orig_parent is not None
+                        and id(orig_parent) not in roots
+                        and len(consumers.get(id(orig_parent), [])) == 1
+                    ):
+                        parent = cand
+                if parent is not None:
+                    fused_any = True
+                    cf, ca, ck = n.fn, args, kwargs
+
+                    def make_fused(cf, ca, ck, pnode):
+                        def fused(*pa, **pk):
+                            pv = pnode.fn(*pa, **pk)
+                            fa = [pv if x is pnode else x for x in ca]
+                            fk = {k: (pv if v is pnode else v) for k, v in ck.items()}
+                            return cf(*fa, **fk)
+                        return fused
+
+                    rebuilt[id(n)] = Delayed(
+                        make_fused(cf, ca, ck, parent),
+                        parent.args,
+                        parent.kwargs,
+                        name=f"{n.name}({parent.name})",
+                    )
+                else:
+                    rebuilt[id(n)] = Delayed(n.fn, args, kwargs, name=n.name)
+            return [rebuilt[id(r)] for r in rs], fused_any
+
+        rs = list(self.roots)
+        changed = True
+        while changed:  # chains collapse fully (A→B→C→D ⇒ one node per pass edge)
+            rs, changed = one_pass(rs)
+            roots = set(id(r) for r in rs)
+        return TaskGraph(rs)
+
     def to_dot(self) -> str:
         """GraphViz rendering of the task DAG (the reference's to_dot
         counterpart; plans/jobspec.py renders the physical side)."""

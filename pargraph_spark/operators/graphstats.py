@@ -1,0 +1,104 @@
+"""Whole-graph structural statistics: degree assortativity and the
+average-neighbor-degree profile.
+
+The standard link-graph diagnostics after degrees/components (Newman 2002,
+"Assortative mixing in networks"): web graphs are typically disassortative
+(hubs link to low-degree pages), and the knn(k) profile is the curve
+analysts read that off. The reference exposes no graph statistics beyond
+what its examples compute on demand; these are the Spark-first
+equivalents, each a handful of partial-combined aggregates.
+
+Scale shape: both operators are ONE pass over the symmetrized edge table
+joined to the degree table on each endpoint (the degree table is V-scale
+— broadcastable for most real V, co-partitioned hash join otherwise),
+then a global or per-degree aggregate with map-side partial combine. No
+windows, no iteration, no skew sensitivity (sums are commutative).
+
+Cross-engine exactness: all sums are over BIGINT degree products (exact);
+the final Pearson ratio / mean is formed from those exact integer sums
+with a fixed expression of correctly-rounded IEEE ops (+,-,*,/ and sqrt
+are all bit-identical given identical operands), then quantized by
+FLOOR on a 2^30 binary grid — floor has no midpoint, and power-of-two
+scaling is exact IEEE, so the emitted value is bit-identical across
+engines (decimal round() is midpoint-hazardous cross-engine; see the
+oracle-policy notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pargraph_spark.operators.edges import symmetrize
+
+_GRID = 1 << 30
+
+
+def _q30(col):
+    """Exact binary-grid quantization: floor(x * 2^30) / 2^30 (no decimal
+    midpoint, power-of-two scaling exact in IEEE)."""
+    return F.floor(col * F.lit(float(_GRID))) / F.lit(float(_GRID))
+
+
+def _sym_with_degrees(edges: DataFrame) -> DataFrame:
+    """Symmetrized edges annotated with both endpoint degrees (undirected
+    degree = count of distinct neighbors)."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    return sym.join(du, "u").join(dv, "v")
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Pearson degree-correlation coefficient r over the undirected graph:
+    corr(deg(u), deg(v)) across directed edge endpoints (both directions
+    counted, the standard convention — symmetric, so Sx==Sy). One row
+    (n_edges_directed, rq). r in [-1, 1]; negative = disassortative (the
+    web-graph signature)."""
+    j = _sym_with_degrees(edges)
+    # moment sums accumulate in decimal(38,0): Σdeg² at 10^12-edge scale
+    # with 10^8-degree hubs exceeds BIGINT; decimal sums stay exact AND
+    # order-independent (float sums are neither). The DuckDB oracle uses
+    # HUGEINT — both convert to the same nearest double at the end.
+    d = F.col("du").cast("decimal(19,0)")
+    e_ = F.col("dv").cast("decimal(19,0)")
+    agg = j.agg(
+        F.count("*").alias("m"),
+        F.sum(d).alias("sx"),
+        F.sum(e_).alias("sy"),
+        F.sum(d * e_).alias("sxy"),
+        F.sum(d * d).alias("sxx"),
+        F.sum(e_ * e_).alias("syy"),
+    )
+    # products of sums reach ~(E·d)^2 — far past BIGINT (ANSI overflow) —
+    # so every sum is cast to double FIRST (int64→double is a single
+    # correctly-rounded conversion, identical across engines)
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = m * sxy - sx * sy
+    den = F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)
+    return agg.select(
+        F.col("m").alias("n_edges_directed"),
+        _q30(num / den).alias("rq"),
+    )
+
+
+def avg_neighbor_degree_profile(edges: DataFrame) -> DataFrame:
+    """knn(k): for each degree value k, the mean degree of the neighbors
+    of degree-k vertices — (deg, n_endpoints, knnq). A falling curve is
+    disassortative mixing. Exact integer sums; mean quantized on the
+    2^30 binary grid."""
+    j = _sym_with_degrees(edges)
+    return (
+        j.groupBy(F.col("du").alias("deg"))
+        .agg(
+            F.count("*").alias("n_endpoints"),
+            _q30(
+                F.sum(F.col("dv").cast("decimal(19,0)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("knnq"),
+        )
+    )

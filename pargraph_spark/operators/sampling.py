@@ -66,3 +66,62 @@ def stratified_sample(
         )
     expr = expr.otherwise(h < F.lit(fraction_threshold_hex(default_fraction)))
     return df.where(expr)
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    salt: str = "gs",
+) -> DataFrame:
+    """GraphSAGE-style k-hop neighborhood sampling: from each seed vertex,
+    follow out-edges for len(fanouts) hops, keeping at most fanouts[h]
+    neighbors per frontier vertex at hop h — the subgraph-extraction step
+    of a graph-ML training pipeline (mini-batch neighborhoods at 10^12-edge
+    scale must be SAMPLED; full k-hop balls around hubs are the whole
+    graph).
+
+    Determinism (same contract as the content-hash samplers above): the
+    per-edge rank is md5("salt:src|dst|hop"), so which neighbors survive
+    is a pure function of (edge, hop, salt) — stable under repartitioning,
+    engine (the DuckDB oracle is the identical md5 rank), resume, and
+    graph growth (a new edge displaces at most one sampled edge, it never
+    reshuffles the whole sample). Different salts give independent draws.
+
+    Scale shape: per hop, one co-partitionable semi-join of edges against
+    the (small) frontier, then a row_number window partitioned by src
+    filtered to rn <= fanout — Spark 4 rewrites that filter into
+    WindowGroupLimit, a MAP-SIDE partial top-k per src BEFORE the
+    exchange, so a 10^8-degree hub ships fanout rows, not its adjacency
+    (plan-pinned in tests/test_plans.py). The frontier for hop h+1 is the
+    distinct sampled dsts of hop h; output is (hop, src, dst) — the
+    sampled edge set, ready to group into per-seed blocks.
+
+    Seeds: a DataFrame with an `id` column. Fanouts: e.g. [10, 5] for a
+    2-hop sample. Edges are followed src→dst (pass a symmetrized table
+    for undirected neighborhoods).
+    """
+    from pyspark.sql import Window
+
+    frontier = seeds.select("id").distinct()
+    out: DataFrame | None = None
+    for hop, fan in enumerate(fanouts):
+        if fan < 1:
+            raise ValueError(f"fanouts must be >= 1, got {fanouts}")
+        rank_key = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.col("src").cast("string"),
+                F.col("dst").cast("string"), F.lit(str(hop)),
+            ).cast("binary")
+        )
+        w = Window.partitionBy("src").orderBy(F.col("_rk"), F.col("dst"))
+        sampled = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("src", "dst", rank_key.alias("_rk"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= fan)
+            .select(F.lit(hop).cast("int").alias("hop"), "src", "dst")
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select(F.col("dst").alias("id")).distinct()
+    return out

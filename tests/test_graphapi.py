@@ -280,3 +280,88 @@ def test_dask_get_reference_engine_shapes():
 
     with pytest.raises(KeyError):
         get(graph, "missing")
+
+
+def test_cull_drops_unreachable():
+    calls = []
+
+    @delayed
+    def tick(tag):
+        calls.append(tag)
+        return tag
+
+    g = TaskGraph([tick("a"), tick("b")])
+    culled = g.cull(keep=[0])
+    assert len(culled.roots) == 1
+    assert culled.compute() == ["a"]
+    assert calls == ["a"]  # the culled root's node never ran
+    # and the culled graph serializes without the dropped node
+    assert culled.to_json().count('"tick"') <= 1
+
+
+def test_fuse_sequential_chain_collapses():
+    calls = []
+
+    def step(tag):
+        def fn(x):
+            calls.append(tag)
+            return x + 1
+        fn.__name__ = f"step_{tag}"
+        return delayed(fn)
+
+    @delayed
+    def base():
+        return 0
+
+    node = step("c")(step("b")(step("a")(base())))
+    g = node.to_graph()
+    fused = g.fuse_sequential()
+    # A -> B -> C -> D collapsed into a single composite node
+    assert len(fused.roots) == 1
+    from pargraph_spark.graphapi import _walk
+
+    assert len(_walk(fused.roots)) == 1
+    assert fused.compute() == [3]
+    assert calls == ["a", "b", "c"]  # same work, same order
+
+
+def test_fuse_sequential_preserves_diamond():
+    # a shared node (two consumers) must NOT be fused into either branch
+    runs = []
+
+    @delayed
+    def base():
+        runs.append("base")
+        return 2
+
+    @delayed
+    def double(x):
+        return x * 2
+
+    @delayed
+    def add(a, b):
+        return a + b
+
+    b = base()
+    g = add(double(b), double(b)).to_graph()
+    fused = g.fuse_sequential()
+    assert fused.compute() == [8]
+    assert runs == ["base"]  # still computed once
+    from pargraph_spark.graphapi import _walk
+
+    # base survives as its own node (double nodes may fuse into add or not,
+    # but the diamond's shared dependency must remain shared)
+    assert any(n.name == "base" for n in _walk(fused.roots))
+
+
+def test_fuse_sequential_roundtrips_json():
+    @delayed
+    def base():
+        return 5
+
+    @delayed
+    def inc(x):
+        return x + 1
+
+    fused = inc(inc(base())).to_graph().fuse_sequential()
+    assert TaskGraph.from_json(fused.to_json()).compute() == [7]

@@ -173,3 +173,21 @@ def test_clustering_coefficient_partial_combines(spark):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # all JVM-side
+
+
+def test_neighbor_sample_fanout_is_window_group_limit(spark):
+    # the rn <= fanout filter must compile to WindowGroupLimit — Spark's
+    # map-side partial top-k per src — so a hub ships `fanout` rows, not
+    # its adjacency (the scale contract in neighbor_sample's docstring)
+    from pargraph_spark.operators.sampling import neighbor_sample
+
+    e = em._co_edges(spark, SF)
+    seeds = e.select(F.col("src").alias("id")).where(F.col("id") % 7 == 0).distinct()
+    plan = _plan(neighbor_sample(e, seeds, [4]))
+    # a Final WindowGroupLimit bounds each src's rows to fanout BEFORE the
+    # full Window sort; when the window input needs an exchange Spark also
+    # inserts a Partial stage map-side — here the frontier join already
+    # partitions by src, so one Final stage and zero extra exchanges
+    assert "WindowGroupLimit" in plan, plan
+    after_join = plan.split("SortMergeJoin")[0]
+    assert "WindowGroupLimit" in after_join, plan

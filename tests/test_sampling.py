@@ -68,3 +68,70 @@ def test_stratified_per_stratum_fractions(spark):
     }
     a_rows = {r["id"] for r in out.where("s = 'a'").collect()}
     assert a_rows == ref
+
+
+def test_neighbor_sample_matches_python_oracle(spark):
+    import hashlib
+    import random
+
+    from pargraph_spark.operators.sampling import neighbor_sample
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(150)})
+    edges = [(s, d) for s, d in edges if s != d]
+    seeds = [0, 3, 7]
+    fanouts = [3, 2]
+
+    def rk(s, d, hop):
+        return hashlib.md5(f"gs|{s}|{d}|{hop}".encode()).hexdigest()
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    expect = set()
+    frontier = set(seeds)
+    for hop, fan in enumerate(fanouts):
+        nxt = set()
+        for s in frontier:
+            picked = sorted(adj.get(s, []), key=lambda d: (rk(s, d, hop), d))[:fan]
+            for d in picked:
+                expect.add((hop, s, d))
+                nxt.add(d)
+        frontier = nxt
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {(r["hop"], r["src"], r["dst"])
+           for r in neighbor_sample(edf, sdf, fanouts).collect()}
+    assert got == expect
+
+
+def test_neighbor_sample_stable_under_repartition(spark):
+    from pargraph_spark.operators.sampling import neighbor_sample
+
+    edges = [(i, (i * 7 + j) % 40) for i in range(40) for j in range(5)]
+    edges = [(s, d) for s, d in edges if s != d]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(1,), (2,)], "id long")
+    a = {(r["hop"], r["src"], r["dst"])
+         for r in neighbor_sample(edf, sdf, [4, 3]).collect()}
+    b = {(r["hop"], r["src"], r["dst"])
+         for r in neighbor_sample(edf.repartition(13), sdf, [4, 3]).collect()}
+    assert a == b and a
+    # fanout respected per frontier vertex per hop
+    from collections import Counter
+
+    per_src_h0 = Counter(s for h, s, d in a if h == 0)
+    assert all(c <= 4 for c in per_src_h0.values())
+
+
+def test_neighbor_sample_independent_salts_differ(spark):
+    from pargraph_spark.operators.sampling import neighbor_sample
+
+    edges = [(0, d) for d in range(1, 60)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "id long")
+    a = {r["dst"] for r in neighbor_sample(edf, sdf, [8], salt="s1").collect()}
+    b = {r["dst"] for r in neighbor_sample(edf, sdf, [8], salt="s2").collect()}
+    assert len(a) == 8 and len(b) == 8
+    assert a != b  # 60-choose-8 collision odds are negligible

@@ -275,6 +275,14 @@ def _q_core_numbers(spark, sf):
     return res.cores.select("id", F.col("core").cast("long").alias("core"))
 
 
+def _q_top_terms(spark, sf):
+    # top-3 characteristic terms per document by tf x idf-odds (the BM25
+    # idf argument without the rank-preserving log — exact cross-engine)
+    from pargraph_spark.functions.text import top_terms
+
+    return top_terms(_t(spark, sf, "documents"), k=3)
+
+
 def _q_degree_assortativity(spark, sf):
     # Pearson degree correlation over the co-occurrence graph (binary-grid
     # quantized — floor on 2^30, no decimal-round midpoint hazard)
@@ -644,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample_2hop": _q_neighbor_sample,
         "degree_assortativity": _q_degree_assortativity,
         "knn_profile": _q_knn_profile,
+        "top_terms": _q_top_terms,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -802,6 +811,29 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY u"
+    )
+
+
+def _top_terms_sql(k: int) -> str:
+    """Mirrors functions.text.top_terms: tf x (N - df + 0.5)/(df + 0.5)
+    with the identical left-assoc double expression; ties on term asc.
+    N counts ALL documents (empty/null text included)."""
+    return (
+        f"WITH {DOCS_NORM_SQL}, "
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM t), "
+        "tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        "dfreq AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df "
+        "FROM tf GROUP BY term), "
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, "
+        "CAST(tf.tf AS DOUBLE) * ((CAST(nd.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) "
+        "/ (CAST(dfreq.df AS DOUBLE) + 0.5)) AS s "
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN nd) "
+        "SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank FROM ("
+        "SELECT doc_id, term, tf, df, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
     )
 
 
@@ -1390,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_sample_2hop": _neighbor_sample_sql(NS_SEED_MOD, NS_FANOUTS),
         "degree_assortativity": _assortativity_sql(),
         "knn_profile": _knn_profile_sql(),
+        "top_terms": _top_terms_sql(3),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -141,3 +141,46 @@ def shingles(c: Column, size: int = 3) -> Column:
             F.when(n >= size, grams).otherwise(F.array(F.concat_ws(" ", t)))
         )
     )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document, ranked by tf × idf-odds —
+    the keyword-extraction pass of a corpus-analytics pipeline.
+
+    Ranking: score = tf · (N − df + 0.5)/(df + 0.5), the Robertson–
+    Spärck-Jones odds that BM25 takes the log of. log is monotone, so the
+    RANKING is identical to BM25-idf — and skipping it keeps the score a
+    short chain of correctly-rounded IEEE ops on exact integers
+    (int→double casts, one +0.5, one divide, one multiply), bit-identical
+    across engines; ln() implementations are only ulp-identical, which
+    can flip ranks at ties and break a value-oracle. Ties break on term
+    asc. Output: (doc_id, term, tf, df, rank) — all integers.
+
+    Scale shape: explode → (doc,term) count with map-side partial
+    combine; df-counts partial-combined on term; tf⋈df co-partitioned on
+    term; N enters as a broadcast 1-row aggregate (no driver collect);
+    the per-doc row_number filter compiles to WindowGroupLimit (map-side
+    top-k), and window partitions are bounded by document length."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    n = F.col("_n").cast("double")
+    d = F.col("df").cast("double")
+    score = F.col("tf").cast("double") * ((n - d + F.lit(0.5)) / (d + F.lit(0.5)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "term", "tf", "df", F.col("rank").cast("int").alias("rank"))
+    )

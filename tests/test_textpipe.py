@@ -270,3 +270,41 @@ def test_near_dup_groups_elect_canonical(spark):
     assert got[1] == got[2] == got[3] == 1  # one group, min id canonical
     assert got[10] == got[11] == 10
     assert 50 not in got  # singletons are implicitly canonical (absent)
+
+
+def test_top_terms_matches_python_oracle(spark):
+    from pargraph_spark.functions.text import top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana cherry"),
+        (3, "apple cherry cherry durian durian durian"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+           for r in top_terms(df, k=2).collect()}
+
+    # python oracle
+    from collections import Counter, defaultdict
+
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    n_docs = len(docs)
+    dfreq = Counter()
+    for i, ts in toks.items():
+        for t in set(ts):
+            dfreq[t] += 1
+    expect = {}
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            tf.items(),
+            key=lambda kv: (-(kv[1] * (n_docs - dfreq[kv[0]] + 0.5)
+                             / (dfreq[kv[0]] + 0.5)), kv[0]),
+        )
+        for rank, (term, c) in enumerate(scored[:2], 1):
+            expect[(i, rank)] = (term, c, dfreq[term])
+    assert got == expect
+    # empty/null docs contribute no rows but DO count toward N
+    assert not any(d in (4, 5) for d, _ in got)

@@ -275,6 +275,19 @@ def _q_core_numbers(spark, sf):
     return res.cores.select("id", F.col("core").cast("long").alias("core"))
 
 
+REACH_HOPS = 2
+REACH_K = 8
+
+
+def _q_reach_kmv(spark, sf):
+    # HyperANF-class approximate 2-hop ball size per vertex via
+    # deterministic KMV sketches (operators.reach) — bit-deterministic
+    # (md5 + exact IEEE ops), so the DuckDB oracle is exact
+    from pargraph_spark.operators.reach import kmv_reach
+
+    return kmv_reach(spark, _co_edges(spark, sf), hops=REACH_HOPS, k=REACH_K)
+
+
 def _q_top_terms(spark, sf):
     # top-3 characteristic terms per document by tf x idf-odds (the BM25
     # idf argument without the rank-preserving log — exact cross-engine)
@@ -653,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "knn_profile": _q_knn_profile,
         "top_terms": _q_top_terms,
+        "reach_kmv_2hops": _q_reach_kmv,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -811,6 +825,37 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} GROUP BY u"
+    )
+
+
+def _reach_kmv_sql(hops: int, k: int) -> str:
+    """Unrolled KMV sketch propagation mirroring operators.reach.kmv_reach:
+    r0 = own 15-hex md5 prefix; each round merges neighbor sketches,
+    dedupes, keeps the k lexicographically-smallest (fixed-width hex =
+    numeric order); estimator parses the k-th value via the shared
+    '0x'-cast and applies (k-1)*2^60/h_k (single exact-operand division)."""
+    m = "AS MATERIALIZED"
+    num = float((k - 1) << 60)  # exact binary double
+    parts = [
+        E_SQL,
+        SYM_SQL,
+        f"r0 {m} (SELECT DISTINCT u AS v, substr(md5(CAST(u AS VARCHAR)), 1, 15) AS h FROM sym)",
+    ]
+    for t in range(1, hops + 1):
+        p = t - 1
+        parts.append(
+            f"r{t} {m} (SELECT v, h FROM ("
+            "SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM ("
+            f"SELECT s.v AS v, r.h FROM sym s JOIN r{p} r ON s.u = r.v "
+            f"UNION SELECT v, h FROM r{p})"
+            f") WHERE rn <= {k})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT v AS id, CAST(count(*) AS BIGINT) AS sketch_n, "
+        f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        f"ELSE {num!r} / CAST(CAST(concat('0x', max(h)) AS BIGINT) AS DOUBLE) END AS est "
+        f"FROM r{hops} GROUP BY v"
     )
 
 
@@ -1423,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _assortativity_sql(),
         "knn_profile": _knn_profile_sql(),
         "top_terms": _top_terms_sql(3),
+        "reach_kmv_2hops": _reach_kmv_sql(REACH_HOPS, REACH_K),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -1,0 +1,108 @@
+"""Approximate per-vertex neighborhood function via deterministic
+k-minimum-values sketches — the HyperANF class of algorithm (Boldi &
+Vigna 2011) with a KMV estimator (Bar-Yossef et al. 2002) instead of
+HyperLogLog registers.
+
+What it computes: for every vertex, an estimate of |ball(v, t)| — the
+number of distinct vertices within t hops — after t sketch-propagation
+rounds. Summed over vertices this is the neighborhood function N(t),
+whose saturation point is the graph's effective diameter; per-vertex it
+ranks pages by how much of the web they can reach in t clicks (a
+centrality signal PageRank doesn't give you).
+
+Why KMV instead of HLL here: a KMV sketch is just the k smallest
+values of a uniform hash over the ball — with md5 as the hash it is a
+PURE function of the reachable set, so the whole computation is
+bit-deterministic and carries an exact DuckDB value-oracle (the driver
+gate), which register-based HLL can never do cross-engine. Accuracy is
+the standard KMV bound (relative s.d. ≈ 1/√(k−2)); balls smaller than k
+are EXACT (the sketch holds the whole ball).
+
+Scale shape per round: sketch rows (v, h) live hash-partitioned; the
+propagation join sym⋈rows is one co-partitionable exchange; the
+(v, h)-keyed distinct partial-combines map-side; the per-vertex top-k
+compiles to WindowGroupLimit, whose Partial stage bounds what a
+10^8-degree hub ships to k rows per map task BEFORE the exchange to v.
+State per vertex is ≤ k rows × 16 B — 10^12 vertices × k=8 ≈ the size
+of one rank vector, not of the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.operators.edges import symmetrize
+
+_HEX_BITS = 60  # 15 hex chars of md5 — fits BIGINT exactly in both engines
+
+
+def _h15(col):
+    """15-hex-char md5 prefix: fixed-width lowercase hex, so LEXICOGRAPHIC
+    order == numeric order (sketches sort as strings; only the final
+    estimator parses the k-th value to an integer)."""
+    return F.substring(F.md5(col.cast("string").cast("binary")), 1, 15)
+
+
+def kmv_reach(
+    spark: SparkSession,
+    edges: DataFrame,
+    hops: int,
+    k: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, sketch_n, est): estimated |ball(id, hops)| on the undirected
+    graph. sketch_n < k means the ball is smaller than the sketch and
+    `est` is its EXACT size; otherwise est = (k−1)·2^60 / h_(k), the KMV
+    estimator on the k-th smallest hash. Deterministic: same graph, same
+    k, same hops → identical output on any engine (md5 + exact IEEE
+    ops), which is what makes the DuckDB oracle exact."""
+    if hops < 0 or k < 2:
+        raise ValueError(f"need hops >= 0 and k >= 2, got {hops=}, {k=}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges).repartition(P, "u").localCheckpoint(eager=True)
+    verts = sym.select(F.col("u").alias("v")).distinct()
+    rows = verts.select("v", _h15(F.col("v")).alias("h")).repartition(P, "v")
+    rows = rows.localCheckpoint(eager=True)
+    w = Window.partitionBy("v").orderBy("h")
+    for _ in range(hops):
+        msgs = sym.join(rows.withColumnRenamed("v", "u").withColumnRenamed(
+            "h", "_h"), "u").select("v", F.col("_h").alias("h"))
+        merged = (
+            rows.unionByName(msgs)
+            .distinct()  # (v,h)-keyed: partial-combines map-side
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .repartition(P, "v")
+        )
+        old = rows
+        rows = merged.localCheckpoint(eager=True)
+        old.unpersist()
+    num = float((k - 1) << _HEX_BITS)  # exact: (k-1) * 2^60 is a binary value
+    agg = rows.groupBy(F.col("v").alias("id")).agg(
+        F.count("*").alias("sketch_n"), F.max("h").alias("_hk")
+    )
+    hk = F.conv(F.col("_hk"), 16, 10).cast("bigint").cast("double")
+    return agg.select(
+        "id",
+        "sketch_n",
+        F.when(F.col("sketch_n") < k, F.col("sketch_n").cast("double"))
+        .otherwise(F.lit(num) / hk)
+        .alias("est"),
+    )
+
+
+def neighborhood_function(reach: DataFrame) -> DataFrame:
+    """N(t) = Σ_v est(v, t): one row (n_vertices, n_reachable_pairs_est).
+    Run kmv_reach at increasing t; the t where this saturates (≥90% of
+    the final value) is the effective diameter. NOTE: the float sum is
+    order-dependent (not cross-engine-hashable — this is a summary
+    convenience, deliberately not an oracled query; the per-vertex
+    kmv_reach output is the deterministic artifact)."""
+    return reach.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum("est").alias("n_reachable_pairs_est"),
+    )

@@ -63,8 +63,12 @@ def main() -> None:
     pr_eps_samples: list[float] = []
 
     # ---- one-shot build phase (outputs persisted, reused by all trials;
-    # NOT timed — edge_build is timed per-trial below like every other op)
-    edges = entrymod._co_edges(spark, sf_dir).persist()
+    # NOT timed — edge_build is timed per-trial below like every other op).
+    # The persisted plan carries a redundant Filter node so its canonical
+    # form differs from the raw _co_edges plan: otherwise the CacheManager
+    # substitutes the cache into every per-trial build and edge_build
+    # times a cache read (observed 0.6s vs the real ~7s).
+    edges = entrymod._co_edges(spark, sf_dir).where(F.col("src").isNotNull()).persist()
     n_edges = edges.count()
     extra["n_edges"] = n_edges
 

@@ -25,7 +25,8 @@ from pargraph_spark.synth import generate_pages_spark
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pargraph_spark")
     ap.add_argument("job", choices=["pagerank", "components", "labels",
-                                    "triangles", "kcore", "hosts", "all"])
+                                    "triangles", "kcore", "corenums",
+                                    "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
     src.add_argument("--synth-pages", type=int, help="generate N synthetic pages (seed 42)")
@@ -33,7 +34,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["parquet", "csv", "json"],
                     help="pages source format (csv/json use the base64-html "
                          "text interchange, sources/pages.py)")
-    ap.add_argument("--k", type=int, default=10, help="k for the kcore job")
+    ap.add_argument("--k", type=int, default=10,
+                    help="k for the kcore job / sketch size for reach")
+    ap.add_argument("--hops", type=int, default=3, help="hops for the reach job")
     ap.add_argument("--output", required=True, help="output directory (parquet)")
     ap.add_argument("--format", default="parquet")
     ap.add_argument("--checkpoint-dir")
@@ -99,6 +102,36 @@ def main(argv: list[str] | None = None) -> int:
         kc.vertices.write.mode("overwrite").parquet(f"{args.output}/kcore.parquet")
         summary["kcore"] = {"k": args.k, "rounds": kc.rounds,
                             "core_size": kc.vertices.count()}
+    if args.job == "corenums":
+        from pargraph_spark.operators.kcore import core_numbers
+
+        cn = core_numbers(spark, graph.edges, num_partitions=args.partitions)
+        cn.cores.write.mode("overwrite").parquet(f"{args.output}/core_numbers.parquet")
+        summary["corenums"] = {"rounds": cn.rounds, "converged": cn.converged}
+    if args.job == "reach":
+        from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
+
+        r = kmv_reach(spark, graph.edges, hops=args.hops,
+                      k=max(args.k, 2), num_partitions=args.partitions)
+        r = r.persist()
+        r.write.mode("overwrite").parquet(f"{args.output}/reach.parquet")
+        nf = neighborhood_function(r).collect()[0]
+        summary["reach"] = {"hops": args.hops, "k": max(args.k, 2),
+                            "n_vertices": nf["n_vertices"],
+                            "neighborhood_function":
+                                float(nf["n_reachable_pairs_est"])}
+        r.unpersist()
+    if args.job == "stats":
+        from pargraph_spark.operators.graphstats import (
+            avg_neighbor_degree_profile,
+            degree_assortativity,
+        )
+
+        row = degree_assortativity(graph.edges).collect()[0]
+        avg_neighbor_degree_profile(graph.edges).write.mode("overwrite").parquet(
+            f"{args.output}/knn_profile.parquet")
+        summary["stats"] = {"n_edges_directed": row["n_edges_directed"],
+                            "assortativity": float(row["rq"])}
     if args.job == "hosts":
         from pargraph_spark.operators.edges import host_edges_ids, host_graph
         from pargraph_spark.operators.pagerank import pagerank as _pr

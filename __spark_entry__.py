@@ -288,6 +288,58 @@ def _q_reach_kmv(spark, sf):
     return kmv_reach(spark, _co_edges(spark, sf), hops=REACH_HOPS, k=REACH_K)
 
 
+RW_SEED_MOD = 101
+RW_WALKS = 2
+RW_LEN = 3
+SCORE_S = 80        # sf0.01 cascade: 4 peel rounds, 1889-vertex core
+SCORE_ROUNDS = 7    # fixed rounds, identity past the fixpoint
+MIS_ROUNDS = 8      # sf0.01 Luby exhausts in 6 rounds; +2 identity margin
+HARM_HOPS = 3
+HARM_K = 8
+
+
+def _q_random_walks(spark, sf):
+    # DeepWalk-style deterministic walk corpus: md5-argmin neighbor choice
+    # (a uniform draw that is a pure function of (seed, walk, step, salt))
+    from pargraph_spark.operators.sampling import random_walks
+
+    e = _co_edges(spark, sf)
+    seeds = e.select(F.col("src").alias("id")).where(
+        F.col("id") % RW_SEED_MOD == 0
+    ).distinct()
+    return random_walks(e, seeds, num_walks=RW_WALKS, length=RW_LEN)
+
+
+def _q_score_core(spark, sf):
+    # weighted k-core (s-core) over the co-occurrence-multiplicity graph:
+    # peel until every vertex's incident weight sum >= s (fixed rounds,
+    # identity past fixpoint — the kcore pattern, weighted)
+    from pargraph_spark.operators.kcore import score_core
+
+    res = score_core(spark, _co_wedges(spark, sf), s=SCORE_S,
+                     max_rounds=SCORE_ROUNDS)
+    return res.vertices.select(
+        "id", F.col("strength").cast("long").alias("strength"))
+
+
+def _q_mis(spark, sf):
+    # deterministic Luby maximal independent set (md5 round priorities)
+    from pargraph_spark.operators.mis import maximal_independent_set
+
+    res = maximal_independent_set(spark, _co_edges(spark, sf),
+                                  fixed_rounds=MIS_ROUNDS)
+    return res.members
+
+
+def _q_harmonic_kmv(spark, sf):
+    # truncated harmonic centrality from the same deterministic KMV
+    # sketches as reach_kmv_2hops (HyperBall's flagship application)
+    from pargraph_spark.operators.reach import harmonic_centrality_kmv
+
+    return harmonic_centrality_kmv(spark, _co_edges(spark, sf),
+                                   max_hops=HARM_HOPS, k=HARM_K)
+
+
 def _q_top_terms(spark, sf):
     # top-3 characteristic terms per document by tf x idf-odds (the BM25
     # idf argument without the rank-preserving log — exact cross-engine)
@@ -667,6 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_profile": _q_knn_profile,
         "top_terms": _q_top_terms,
         "reach_kmv_2hops": _q_reach_kmv,
+        "random_walks_3steps": _q_random_walks,
+        "score_core": _q_score_core,
+        "mis": _q_mis,
+        "harmonic_kmv_3hops": _q_harmonic_kmv,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -856,6 +912,141 @@ def _reach_kmv_sql(hops: int, k: int) -> str:
         f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
         f"ELSE {num!r} / CAST(CAST(concat('0x', max(h)) AS BIGINT) AS DOUBLE) END AS est "
         f"FROM r{hops} GROUP BY v"
+    )
+
+
+def _random_walks_sql(seed_mod: int, num_walks: int, length: int,
+                      salt: str = "rw") -> str:
+    """Unrolled md5-argmin walk steps mirroring
+    operators.sampling.random_walks (rank = md5('salt|seed|walk|t|dst'),
+    dst tiebreak; walks stop at sinks)."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        f"f0 {m} (SELECT DISTINCT src AS id FROM e WHERE src % {seed_mod} = 0)",
+        f"wk {m} (SELECT CAST(x AS INTEGER) AS walk FROM range({num_walks}) t(x))",
+        f"s0 {m} (SELECT f.id AS seed_id, wk.walk, f.id AS vertex FROM f0 f CROSS JOIN wk)",
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"s{t} {m} (SELECT seed_id, walk, vertex FROM ("
+            "SELECT c.seed_id, c.walk, e.dst AS vertex, "
+            "row_number() OVER (PARTITION BY c.seed_id, c.walk ORDER BY "
+            f"md5('{salt}|' || CAST(c.seed_id AS VARCHAR) || '|' || CAST(c.walk AS VARCHAR) || '|{t}|' || CAST(e.dst AS VARCHAR)), e.dst) AS rn "
+            f"FROM s{t - 1} c JOIN e ON e.src = c.vertex) WHERE rn = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT seed_id, walk, CAST({t} AS INTEGER) AS step, vertex FROM s{t}"
+        for t in range(length + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+WE_SQL = (
+    "we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+    "CAST(count(*) AS BIGINT) AS w FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY a.l_partkey, b.l_partkey)"
+)
+
+
+def _score_core_sql(s: int, rounds: int) -> str:
+    """Unrolled weighted peel mirroring operators.kcore.score_core:
+    each round removes vertices whose incident weight sum < s."""
+    m = "AS MATERIALIZED"
+    parts = [
+        WE_SQL,
+        f"w0 {m} (SELECT u, v, max(w) AS w FROM ("
+        "SELECT src AS u, dst AS v, w FROM we "
+        "UNION ALL SELECT dst, src, w FROM we) GROUP BY u, v)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"p{r} {m} (SELECT u FROM (SELECT u, sum(w) AS st FROM w{p} GROUP BY u) WHERE st < {s})"
+        )
+        parts.append(
+            f"w{r} {m} (SELECT u, v, w FROM w{p} WHERE u NOT IN (SELECT u FROM p{r}) "
+            f"AND v NOT IN (SELECT u FROM p{r}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT u AS id, CAST(sum(w) AS BIGINT) AS strength FROM w{rounds} GROUP BY u"
+    )
+
+
+def _mis_sql(rounds: int, salt: str = "mis") -> str:
+    """Unrolled deterministic Luby rounds mirroring operators.mis:
+    priority = md5('salt|round|id')[:16] || '-' || lpad(id); a vertex
+    wins iff it has no undecided neighbor or beats their min priority;
+    winners + neighbors leave. Rounds past exhaustion are identity."""
+    m = "AS MATERIALIZED"
+    parts = [E_SQL, SYM_SQL,
+             f"und0 {m} (SELECT DISTINCT u AS id FROM sym)",
+             f"g0 {m} (SELECT u, v FROM sym)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        pk = (f"concat(substr(md5('{salt}|{r}|' || CAST(id AS VARCHAR)), 1, 16), "
+              "'-', lpad(CAST(id AS VARCHAR), 20, '0'))")
+        parts.append(f"pk{r} {m} (SELECT id, {pk} AS pk FROM und{p})")
+        parts.append(
+            f"nm{r} {m} (SELECT s.u AS id, min(p.pk) AS nmin "
+            f"FROM g{p} s JOIN pk{r} p ON s.v = p.id GROUP BY s.u)"
+        )
+        parts.append(
+            f"win{r} {m} (SELECT k.id FROM pk{r} k LEFT JOIN nm{r} nm ON k.id = nm.id "
+            "WHERE nm.nmin IS NULL OR k.pk < nm.nmin)"
+        )
+        parts.append(
+            f"rem{r} {m} (SELECT id FROM win{r} UNION "
+            f"SELECT s.v FROM g{p} s JOIN win{r} w ON s.u = w.id)"
+        )
+        parts.append(
+            f"und{r} {m} (SELECT id FROM und{p} WHERE id NOT IN (SELECT id FROM rem{r}))"
+        )
+        parts.append(
+            f"g{r} {m} (SELECT u, v FROM g{p} WHERE u NOT IN (SELECT id FROM rem{r}) "
+            f"AND v NOT IN (SELECT id FROM rem{r}))"
+        )
+    union = " UNION ALL ".join(f"SELECT id FROM win{r}" for r in range(1, rounds + 1))
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+def _harmonic_kmv_sql(hops: int, k: int) -> str:
+    """Per-hop KMV estimates (the _reach_kmv_sql rounds) combined by the
+    identical left-associated (e_t − e_{t−1})/t chain."""
+    m = "AS MATERIALIZED"
+    num = float((k - 1) << 60)
+    parts = [
+        E_SQL,
+        SYM_SQL,
+        f"r0 {m} (SELECT DISTINCT u AS v, substr(md5(CAST(u AS VARCHAR)), 1, 15) AS h FROM sym)",
+    ]
+    for t in range(1, hops + 1):
+        p = t - 1
+        parts.append(
+            f"r{t} {m} (SELECT v, h FROM ("
+            "SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM ("
+            f"SELECT s.v AS v, r.h FROM sym s JOIN r{p} r ON s.u = r.v "
+            f"UNION SELECT v, h FROM r{p})"
+            f") WHERE rn <= {k})"
+        )
+    for t in range(hops + 1):
+        parts.append(
+            f"est{t} {m} (SELECT v AS id, "
+            f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+            f"ELSE {num!r} / CAST(CAST(concat('0x', max(h)) AS BIGINT) AS DOUBLE) END AS est "
+            f"FROM r{t} GROUP BY v)"
+        )
+    cent = "((est1.est - est0.est) / 1.0)"
+    for t in range(2, hops + 1):
+        cent = f"({cent} + ((est{t}.est - est{t - 1}.est) / {float(t)!r}))"
+    joins = "est0" + "".join(
+        f" JOIN est{t} ON est0.id = est{t}.id" for t in range(1, hops + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT est0.id AS id, {cent} AS cent FROM {joins}"
     )
 
 
@@ -1469,6 +1660,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_profile": _knn_profile_sql(),
         "top_terms": _top_terms_sql(3),
         "reach_kmv_2hops": _reach_kmv_sql(REACH_HOPS, REACH_K),
+        "random_walks_3steps": _random_walks_sql(RW_SEED_MOD, RW_WALKS, RW_LEN),
+        "score_core": _score_core_sql(SCORE_S, SCORE_ROUNDS),
+        "mis": _mis_sql(MIS_ROUNDS),
+        "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

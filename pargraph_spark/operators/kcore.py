@@ -202,3 +202,66 @@ def core_numbers(
             prev_total = total
     return CoreNumbersResult(est.select("id", F.col("c").alias("core")),
                              rounds, converged, metrics)
+
+
+def score_core(
+    spark: SparkSession,
+    wedges: DataFrame,
+    s: int,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> KCoreResult:
+    """Weighted k-core (s-core): peel until every surviving vertex has
+    STRENGTH (sum of incident edge weights) >= s — the weighted-graph
+    generalization of kcore(), the natural density primitive on the host
+    graph where w counts page-level links (Eidsaa & Almaas 2013 s-core).
+
+    wedges: (src, dst, w) with integer weights (exact cross-engine sums);
+    treated undirected, self-loops dropped, parallel edges keep max w
+    (deterministic symmetrization). Same plan discipline as kcore: one
+    partial-combined strength aggregate + two anti-joins per round
+    (peeled side broadcasts once peeling localizes), localCheckpoint
+    truncates the per-round lineage; result vertices carry their in-core
+    strength."""
+    if s < 1:
+        raise ValueError(f"score_core requires s >= 1, got {s}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    fwd = wedges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .repartition(P, "u")
+        .localCheckpoint(eager=True)
+    )
+    metrics = JobMetrics("score_core")
+    rounds = 0
+    n_before = sym.count()
+    for r in range(1, max_rounds + 1):
+        t0 = time.monotonic()
+        strength = sym.groupBy("u").agg(F.sum("w").alias("strength"))
+        peeled = strength.where(F.col("strength") < s).select("u")
+        survived = (
+            sym.join(peeled, "u", "left_anti")
+            .join(peeled.select(F.col("u").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_after = survived.count()
+        metrics.add(
+            SuperstepMetric(r, (time.monotonic() - t0) * 1000.0, n_before,
+                            float(n_before - n_after))
+        )
+        sym = survived
+        if n_after == n_before:
+            break
+        rounds = r
+        n_before = n_after
+        if n_after == 0:
+            break
+    core = sym.groupBy(F.col("u").alias("id")).agg(
+        F.sum("w").alias("strength")
+    )
+    return KCoreResult(core, rounds, metrics)

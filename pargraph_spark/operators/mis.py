@@ -1,0 +1,120 @@
+"""Maximal independent set via deterministic Luby rounds.
+
+Luby's algorithm (Luby 1986), the canonical O(log n)-round distributed
+MIS: each round every undecided vertex draws a priority; a vertex joins
+the IS iff its priority beats every undecided neighbor's, then winners
+and their neighbors leave the game. Here the per-round "random" priority
+is md5("salt|round|v") — i.i.d.-uniform in distribution but a PURE
+function of (vertex, round, salt), so the resulting set is deterministic
+and carries an exact DuckDB oracle (the driver gate), while keeping
+Luby's O(log n) expected round bound. Ties are impossible: the priority
+key is the hash concatenated with the zero-padded vertex id (total
+order).
+
+Link-graph uses: IS extraction is the standard symmetry-breaking
+primitive — seed selection for sparsification, landmark placement,
+parallel scheduling of vertex-local updates without neighbor conflicts.
+
+Plan shape per round: one priority projection (pure exprs), one
+min-aggregate over edges keyed by u (partial combine — a hub's
+neighborhood min reduces map-side), one left join for the win test, two
+anti-joins to remove winners + their neighbors (AQE broadcasts the
+winner set once rounds localize), localCheckpoint truncating lineage.
+Everything is JVM-side; per-round shuffle is bounded by the CURRENT
+undecided subgraph, which shrinks geometrically.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.operators.edges import symmetrize
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+
+
+@dataclass
+class MISResult:
+    members: DataFrame  # (id)
+    rounds: int
+    converged: bool
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("mis"))
+
+
+def _priority(col, rnd: int, salt: str):
+    """Total-order priority key: md5 prefix + zero-padded id (no ties)."""
+    return F.concat(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(salt), F.lit(str(rnd)),
+                            col.cast("string")).cast("binary")
+            ),
+            1, 16,
+        ),
+        F.lit("-"),
+        F.lpad(col.cast("string"), 20, "0"),
+    )
+
+
+def maximal_independent_set(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    salt: str = "mis",
+    num_partitions: int | None = None,
+    fixed_rounds: int | None = None,
+) -> MISResult:
+    """Deterministic Luby MIS over the undirected graph. Returns the
+    member ids; guaranteed independent (no two adjacent) and maximal
+    (every non-member has a member neighbor) once converged — both
+    properties are pytest-pinned. fixed_rounds runs exactly that many
+    rounds with no convergence jobs (oracle parity; rounds past
+    exhaustion are identity and `converged` stays False)."""
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = symmetrize(edges).repartition(P, "u").localCheckpoint(eager=True)
+    und = sym.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    members: DataFrame | None = None
+    metrics = JobMetrics("mis")
+    converged = False
+    rounds = 0
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        t0 = time.monotonic()
+        pk = und.select("id", _priority(F.col("id"), r, salt).alias("pk"))
+        nbrmin = (
+            sym.join(pk.select(F.col("id").alias("v"), F.col("pk").alias("_pv")), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("_pv").alias("_nmin"))
+        )
+        winners = (
+            pk.join(nbrmin, "id", "left")
+            .where(F.col("_nmin").isNull() | (F.col("pk") < F.col("_nmin")))
+            .select("id")
+        )
+        removed = winners.unionByName(
+            sym.join(winners.select(F.col("id").alias("u")), "u")
+            .select(F.col("v").alias("id"))
+        ).distinct()
+        new_und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        new_sym = (
+            sym.join(removed.select(F.col("id").alias("u")), "u", "left_anti")
+            .join(removed.select(F.col("id").alias("v")), "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        got = winners.localCheckpoint(eager=True)
+        members = got if members is None else members.unionByName(got).localCheckpoint(eager=True)
+        und.unpersist()
+        sym.unpersist()
+        und, sym = new_und, new_sym
+        rounds = r
+        metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0, 0, float("nan")))
+        if fixed_rounds is None:
+            if und.limit(1).count() == 0:
+                converged = True
+                break
+    if members is None:
+        members = spark.createDataFrame([], "id long")
+    return MISResult(members.select("id"), rounds, converged, metrics)

@@ -44,6 +44,56 @@ def _h15(col):
     return F.substring(F.md5(col.cast("string").cast("binary")), 1, 15)
 
 
+def _propagate(spark, edges, hops: int, k: int, P: int,
+               keep_all: bool = False):
+    """Run the KMV sketch-propagation loop; returns the final sketch rows
+    (v, h), or a list [rows_0 .. rows_hops] when keep_all (each
+    localCheckpoint-materialized — intermediate hops stay valid)."""
+    from pyspark.sql import Window
+
+    sym = symmetrize(edges).repartition(P, "u").localCheckpoint(eager=True)
+    verts = sym.select(F.col("u").alias("v")).distinct()
+    rows = verts.select("v", _h15(F.col("v")).alias("h")).repartition(P, "v")
+    rows = rows.localCheckpoint(eager=True)
+    all_rows = [rows]
+    w = Window.partitionBy("v").orderBy("h")
+    for _ in range(hops):
+        msgs = sym.join(rows.withColumnRenamed("v", "u").withColumnRenamed(
+            "h", "_h"), "u").select("v", F.col("_h").alias("h"))
+        merged = (
+            rows.unionByName(msgs)
+            .distinct()  # (v,h)-keyed: partial-combines map-side
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+            .repartition(P, "v")
+        )
+        old = rows
+        rows = merged.localCheckpoint(eager=True)
+        if not keep_all:
+            old.unpersist()
+        all_rows.append(rows)
+    return all_rows if keep_all else rows
+
+
+def _estimate(rows: DataFrame, k: int) -> DataFrame:
+    """(id, sketch_n, est) from sketch rows: exact count below k, else
+    the KMV estimator (k−1)·2^60 / h_(k) — a single division of exactly-
+    derived operands, bit-identical across engines."""
+    num = float((k - 1) << _HEX_BITS)  # exact: (k-1) * 2^60 is a binary value
+    agg = rows.groupBy(F.col("v").alias("id")).agg(
+        F.count("*").alias("sketch_n"), F.max("h").alias("_hk")
+    )
+    hk = F.conv(F.col("_hk"), 16, 10).cast("bigint").cast("double")
+    return agg.select(
+        "id",
+        "sketch_n",
+        F.when(F.col("sketch_n") < k, F.col("sketch_n").cast("double"))
+        .otherwise(F.lit(num) / hk)
+        .alias("est"),
+    )
+
+
 def kmv_reach(
     spark: SparkSession,
     edges: DataFrame,
@@ -60,39 +110,45 @@ def kmv_reach(
     if hops < 0 or k < 2:
         raise ValueError(f"need hops >= 0 and k >= 2, got {hops=}, {k=}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    from pyspark.sql import Window
+    return _estimate(_propagate(spark, edges, hops, k, P), k)
 
-    sym = symmetrize(edges).repartition(P, "u").localCheckpoint(eager=True)
-    verts = sym.select(F.col("u").alias("v")).distinct()
-    rows = verts.select("v", _h15(F.col("v")).alias("h")).repartition(P, "v")
-    rows = rows.localCheckpoint(eager=True)
-    w = Window.partitionBy("v").orderBy("h")
-    for _ in range(hops):
-        msgs = sym.join(rows.withColumnRenamed("v", "u").withColumnRenamed(
-            "h", "_h"), "u").select("v", F.col("_h").alias("h"))
-        merged = (
-            rows.unionByName(msgs)
-            .distinct()  # (v,h)-keyed: partial-combines map-side
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .drop("_rn")
-            .repartition(P, "v")
+
+def harmonic_centrality_kmv(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    k: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Approximate harmonic centrality truncated at max_hops — the
+    application HyperBall was built for (Boldi & Vigna 2014, "Axioms for
+    centrality"): cent(v) = Σ_u 1/d(v,u) ≈ Σ_{t=1..T} (|B(v,t)| −
+    |B(v,t−1)|)/t, with ball sizes from the same deterministic KMV
+    sketches as kmv_reach — so this too carries an exact DuckDB oracle
+    (the float combination is a FIXED left-associated chain of exact-
+    operand IEEE ops, mirrored verbatim in the SQL).
+
+    Output (id, cent): closeness-style importance that, unlike PageRank,
+    counts how NEAR everything is rather than how much rank flows in —
+    the standard second centrality on web graphs. Truncation at T is the
+    honest scale choice: each extra hop is one more propagation round,
+    and on small-diameter web graphs T≈6 captures nearly all mass."""
+    if max_hops < 1 or k < 2:
+        raise ValueError(f"need max_hops >= 1 and k >= 2, got {max_hops=}, {k=}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    hop_rows = _propagate(spark, edges, max_hops, k, P, keep_all=True)
+    ests = [_estimate(r, k) for r in hop_rows]
+    out = ests[0].select("id", F.col("est").alias("e0"))
+    for t in range(1, max_hops + 1):
+        out = out.join(
+            ests[t].select("id", F.col("est").alias(f"e{t}")), "id"
         )
-        old = rows
-        rows = merged.localCheckpoint(eager=True)
-        old.unpersist()
-    num = float((k - 1) << _HEX_BITS)  # exact: (k-1) * 2^60 is a binary value
-    agg = rows.groupBy(F.col("v").alias("id")).agg(
-        F.count("*").alias("sketch_n"), F.max("h").alias("_hk")
-    )
-    hk = F.conv(F.col("_hk"), 16, 10).cast("bigint").cast("double")
-    return agg.select(
-        "id",
-        "sketch_n",
-        F.when(F.col("sketch_n") < k, F.col("sketch_n").cast("double"))
-        .otherwise(F.lit(num) / hk)
-        .alias("est"),
-    )
+    # fixed left-assoc chain: ((e1-e0)/1 + (e2-e1)/2) + ... — mirrored
+    # exactly in the oracle SQL so every float op sees identical operands
+    cent = (F.col("e1") - F.col("e0")) / F.lit(1.0)
+    for t in range(2, max_hops + 1):
+        cent = cent + (F.col(f"e{t}") - F.col(f"e{t-1}")) / F.lit(float(t))
+    return out.select("id", cent.alias("cent"))
 
 
 def neighborhood_function(reach: DataFrame) -> DataFrame:

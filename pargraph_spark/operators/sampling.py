@@ -125,3 +125,74 @@ def neighbor_sample(
         out = sampled if out is None else out.unionByName(sampled)
         frontier = sampled.select(F.col("dst").alias("id")).distinct()
     return out
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_walks: int,
+    length: int,
+    salt: str = "rw",
+) -> DataFrame:
+    """Deterministic uniform random-walk corpus over the graph — the
+    DeepWalk/node2vec input-generation step of a graph-embedding training
+    pipeline (walks are the 'sentences' the skip-gram model consumes).
+
+    From each seed, `num_walks` walks of `length` steps. The step-t
+    choice at vertex cur is argmin over out-neighbors of
+    md5("salt|seed|walk|t|dst"): the argmin of i.i.d. uniform hashes IS a
+    uniform draw over the neighbor set, yet the whole corpus is a pure
+    function of (graph, seeds, num_walks, length, salt) — reproducible
+    across engines/repartitioning (DuckDB oracle = the identical md5
+    argmin), and incremental (a new edge perturbs only walks that visit
+    its endpoint). Walks stop early at sinks (no out-edges).
+
+    Scale shape per step: frontier ⋈ edges on the current vertex (one
+    hash join keyed on src), then argmin per (seed, walk) via a
+    row_number filter that compiles to WindowGroupLimit — map-side
+    top-1, so a walk standing on a 10^8-degree hub ships ONE row per map
+    task, not the adjacency. State is one row per live walk.
+
+    Output: (seed_id, walk, step, vertex), step 0 = the seed itself.
+    Pass a symmetrized edge table for undirected walks.
+    """
+    from pyspark.sql import Window
+
+    if num_walks < 1 or length < 0:
+        raise ValueError(f"need num_walks >= 1, length >= 0, got {num_walks=}, {length=}")
+    walks = seeds.select(F.col("id").alias("seed_id")).distinct().crossJoin(
+        F.broadcast(
+            seeds.sparkSession.range(num_walks).select(
+                F.col("id").cast("int").alias("walk")
+            )
+        )
+    )
+    cur = walks.select(
+        "seed_id", "walk", F.lit(0).cast("int").alias("step"),
+        F.col("seed_id").alias("vertex"),
+    )
+    out = cur
+    # dst tiebreak: md5 collisions are ~impossible but row_number over a
+    # non-total order would be engine-arbitrary — keep the order total
+    w = Window.partitionBy("seed_id", "walk").orderBy("_rk", "dst")
+    for t in range(1, length + 1):
+        rank_key = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.col("seed_id").cast("string"),
+                F.col("walk").cast("string"), F.lit(str(t)),
+                F.col("dst").cast("string"),
+            ).cast("binary")
+        )
+        nxt = (
+            cur.join(edges.withColumnRenamed("src", "vertex"), "vertex")
+            .select("seed_id", "walk", "dst", rank_key.alias("_rk"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "seed_id", "walk", F.lit(t).cast("int").alias("step"),
+                F.col("dst").alias("vertex"),
+            )
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out

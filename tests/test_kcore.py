@@ -138,3 +138,42 @@ def test_core_numbers_fixed_rounds_identity_past_fixpoint(spark):
     f = {r["id"]: r["core"] for r in fixed.cores.collect()}
     assert a == f
     assert not fixed.converged  # fixed mode never claims convergence
+
+
+# ------------------------- s-core (weighted peel) -------------------------
+
+
+def _py_score(wedges, s):
+    adj: dict[int, dict[int, int]] = {}
+    for u, v, w in wedges:
+        if u == v:
+            continue
+        cur = adj.setdefault(u, {}).get(v)
+        adj[u][v] = max(w, cur) if cur is not None else w
+        cur = adj.setdefault(v, {}).get(u)
+        adj[v][u] = max(w, cur) if cur is not None else w
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if sum(adj[v].values()) < s:
+                for n in adj[v]:
+                    del adj[n][v]
+                del adj[v]
+                changed = True
+    return {v: sum(ws.values()) for v, ws in adj.items()}
+
+
+@pytest.mark.parametrize("seed,s", [(3, 5), (9, 12)])
+def test_score_core_random_vs_python(spark, seed, s):
+    from pargraph_spark.operators.kcore import score_core
+
+    rng = random.Random(seed)
+    wedges = [(rng.randrange(25), rng.randrange(25), rng.randrange(1, 6))
+              for _ in range(120)]
+    wedges = [(u, v, w) for u, v, w in wedges if u != v]
+    res = score_core(
+        spark, spark.createDataFrame(wedges, "src long, dst long, w long"),
+        s, num_partitions=4)
+    got = {r["id"]: r["strength"] for r in res.vertices.collect()}
+    assert got == _py_score(wedges, s)

@@ -99,3 +99,68 @@ def test_kmv_reach_estimates_within_tolerance(spark):
             errs.append(abs(est - true) / true)
     assert errs
     assert sum(errs) / len(errs) < 0.25  # mean |rel err| well under 4x rsd
+
+
+def test_harmonic_centrality_matches_python_mirror(spark):
+    # mirror: same KMV sketches per hop, same (e_t - e_{t-1})/t chain
+    from pargraph_spark.operators.reach import harmonic_centrality_kmv
+
+    rng = random.Random(53)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(30), rng.randrange(30)) for _ in range(90)}
+             if s != d]
+    K, T = 4, 3
+
+    def sketches(hops):
+        adj: dict[int, set[int]] = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        sk = {v: {_h15(v)} for v in adj}
+        outs = [dict(sk)]
+        for _ in range(hops):
+            nxt = {}
+            for v in adj:
+                merged = set(sk[v])
+                for u in adj[v]:
+                    merged |= sk[u]
+                nxt[v] = set(sorted(merged)[:K])
+            sk = nxt
+            outs.append(dict(sk))
+        return outs
+
+    def est(hs):
+        n = len(hs)
+        if n < K:
+            return float(n)
+        return float((K - 1) << 60) / float(int(max(hs), 16))
+
+    per_hop = sketches(T)
+    expect = {}
+    for v in per_hop[0]:
+        es = [est(per_hop[t][v]) for t in range(T + 1)]
+        c = (es[1] - es[0]) / 1.0
+        for t in range(2, T + 1):
+            c = c + (es[t] - es[t - 1]) / float(t)
+        expect[v] = c
+
+    got = {r["id"]: r["cent"] for r in harmonic_centrality_kmv(
+        spark, spark.createDataFrame(edges, EDGE_SCHEMA), max_hops=T, k=K,
+        num_partitions=4).collect()}
+    assert got.keys() == expect.keys()
+    for v in expect:
+        assert abs(got[v] - expect[v]) < 1e-9, v
+
+
+def test_harmonic_centrality_star_center_highest(spark):
+    from pargraph_spark.operators.reach import harmonic_centrality_kmv
+
+    edges = [(0, i) for i in range(1, 9)]
+    got = {r["id"]: r["cent"] for r in harmonic_centrality_kmv(
+        spark, spark.createDataFrame(edges, EDGE_SCHEMA), max_hops=2, k=32,
+        num_partitions=4).collect()}
+    # k=32 > ball sizes: exact. center: 8 at dist 1 = 8.0;
+    # leaves: 1 at dist 1 + 7 at dist 2 = 1 + 3.5 = 4.5
+    assert got[0] == 8.0
+    for v in range(1, 9):
+        assert got[v] == 4.5

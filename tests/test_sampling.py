@@ -135,3 +135,52 @@ def test_neighbor_sample_independent_salts_differ(spark):
     b = {r["dst"] for r in neighbor_sample(edf, sdf, [8], salt="s2").collect()}
     assert len(a) == 8 and len(b) == 8
     assert a != b  # 60-choose-8 collision odds are negligible
+
+
+def test_random_walks_matches_python_oracle(spark):
+    import hashlib
+    import random
+
+    from pargraph_spark.operators.sampling import random_walks
+
+    rng = random.Random(31)
+    edges = sorted({(rng.randrange(20), rng.randrange(20)) for _ in range(80)})
+    edges = [(s, d) for s, d in edges if s != d]
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    seeds = [0, 1, 2]
+
+    def pick(seed, walk, t, cur):
+        outs = adj.get(cur, [])
+        if not outs:
+            return None
+        return min(outs, key=lambda d: (
+            hashlib.md5(f"rw|{seed}|{walk}|{t}|{d}".encode()).hexdigest(), d))
+
+    expect = set()
+    for s in seeds:
+        for wk in range(2):
+            cur = s
+            expect.add((s, wk, 0, s))
+            for t in range(1, 4):
+                cur = pick(s, wk, t, cur)
+                if cur is None:
+                    break
+                expect.add((s, wk, t, cur))
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {(r["seed_id"], r["walk"], r["step"], r["vertex"])
+           for r in random_walks(edf, sdf, num_walks=2, length=3).collect()}
+    assert got == expect
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from pargraph_spark.operators.sampling import random_walks
+
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 is a sink
+    sdf = spark.createDataFrame([(1,)], "id long")
+    rows = random_walks(edf, sdf, num_walks=1, length=5).collect()
+    steps = sorted(r["step"] for r in rows)
+    assert steps == [0, 1]  # walk: 1 -> 2, then stops

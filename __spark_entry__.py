@@ -331,6 +331,21 @@ def _q_mis(spark, sf):
     return res.members
 
 
+TRUSS_K = 12       # sf0.01 cascade: 5 peel rounds, 1127-edge truss
+TRUSS_ROUNDS = 7   # fixed rounds, identity past the fixpoint
+
+
+def _q_ktruss(spark, sf):
+    # k-truss edge decomposition: surviving canonical edges + in-truss
+    # triangle support (support counts are enumeration-invariant, so the
+    # Spark degree-ordered orientation and the oracle's a<b<c agree)
+    from pargraph_spark.operators.triangles import ktruss
+
+    res = ktruss(spark, _co_edges(spark, sf), k=TRUSS_K,
+                 fixed_rounds=TRUSS_ROUNDS)
+    return res.edges.select("a", "b", F.col("support").cast("long").alias("support"))
+
+
 def _q_harmonic_kmv(spark, sf):
     # truncated harmonic centrality from the same deterministic KMV
     # sketches as reach_kmv_2hops (HyperBall's flagship application)
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_core": _q_score_core,
         "mis": _q_mis,
         "harmonic_kmv_3hops": _q_harmonic_kmv,
+        "ktruss": _q_ktruss,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -1010,6 +1026,38 @@ def _mis_sql(rounds: int, salt: str = "mis") -> str:
         )
     union = " UNION ALL ".join(f"SELECT id FROM win{r}" for r in range(1, rounds + 1))
     return "WITH " + ", ".join(parts) + " " + union
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled truss peel mirroring operators.triangles.ktruss: each
+    round enumerates triangles a<b<c over the surviving canonical edge
+    set, credits the three edges, drops support < k-2. Support counts are
+    enumeration-order-invariant, so this id-ordered enumeration matches
+    the Spark side's degree-ordered one exactly."""
+    m = "AS MATERIALIZED"
+    t = k - 2
+    parts = [E_SQL, f"g0 {m} (SELECT src AS a, dst AS b FROM e)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"tri{r} {m} (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM g{p} e1 JOIN g{p} e2 ON e2.a = e1.b "
+            f"JOIN g{p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"sup{r} {m} (SELECT a, b, count(*) AS c FROM ("
+            f"SELECT x AS a, y AS b FROM tri{r} "
+            f"UNION ALL SELECT y, z FROM tri{r} "
+            f"UNION ALL SELECT x, z FROM tri{r}) GROUP BY a, b)"
+        )
+        parts.append(
+            f"g{r} {m} (SELECT g.a, g.b, s.c FROM g{p} g "
+            f"JOIN sup{r} s ON g.a = s.a AND g.b = s.b WHERE s.c >= {t})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT a, b, CAST(c AS BIGINT) AS support FROM g{rounds}"
+    )
 
 
 def _harmonic_kmv_sql(hops: int, k: int) -> str:
@@ -1664,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "score_core": _score_core_sql(SCORE_S, SCORE_ROUNDS),
         "mis": _mis_sql(MIS_ROUNDS),
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
+        "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

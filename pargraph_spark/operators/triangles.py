@@ -13,12 +13,15 @@ Plan shape: two shuffles (wedge self-join on apex, closing semi-join on
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.operators.edges import canonical_undirected
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
 @dataclass
@@ -118,3 +121,84 @@ def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
         .agg(F.count("*").alias("tri"))
     )
     return TriangleResult(total, per_vertex)
+
+
+@dataclass
+class TrussResult:
+    edges: DataFrame  # (a, b, support) — surviving canonical edges
+    rounds: int
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("ktruss"))
+
+
+def ktruss(
+    spark,
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+    fixed_rounds: int | None = None,
+) -> TrussResult:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph where
+    every EDGE participates in ≥ k−2 triangles — the edge-cohesion
+    primitive next to the vertex-level k-core (trusses are the standard
+    community-core filter on web/social graphs; every k-truss sits inside
+    the (k−1)-core but is strictly denser).
+
+    Peel loop: each round counts per-edge triangle support over the
+    CURRENT surviving edge set and drops every edge below k−2
+    simultaneously; the fixpoint is the unique k-truss (simultaneous and
+    sequential peeling converge to the same maximal subgraph), so rounds
+    past convergence are identity and an unrolled SQL oracle is exact —
+    support counts are enumeration-order-invariant, letting the Spark
+    side use the degree-ordered orientation (each triangle enumerated
+    once, wedge fan-out bounded by the SMALLER endpoint's degree — the
+    triangles_global skew discipline) while the oracle enumerates a<b<c.
+
+    Output edges carry their in-truss support (support measured on the
+    fixpoint graph). Cost: one triangle enumeration per round — the
+    expensive-but-honest formulation; rounds are typically few because
+    support collapses fast once peers disappear.
+    """
+    if k < 3:
+        raise ValueError(f"ktruss requires k >= 3, got {k}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    thresh = k - 2
+    und = (
+        canonical_undirected(edges)
+        .repartition(P, "a")
+        .localCheckpoint(eager=True)
+    )
+    metrics = JobMetrics("ktruss")
+    rounds = 0
+    n_before = und.count()
+    kept = und.select("a", "b", F.lit(0).cast("long").alias("support"))
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        t0 = time.monotonic()
+        tri = triangle_triples(und.select(F.col("a").alias("src"),
+                                          F.col("b").alias("dst")))
+        sup = (
+            tri.select(F.least("s", "x").alias("a"), F.greatest("s", "x").alias("b"))
+            .unionByName(tri.select(F.least("s", "y").alias("a"),
+                                    F.greatest("s", "y").alias("b")))
+            .unionByName(tri.select(F.least("x", "y").alias("a"),
+                                    F.greatest("x", "y").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+        kept = (
+            und.join(sup, ["a", "b"])
+            .where(F.col("support") >= thresh)
+            .localCheckpoint(eager=True)
+        )
+        n_after = kept.count()
+        metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
+                                    n_before, float(n_before - n_after)))
+        und = kept.select("a", "b")
+        rounds = r
+        if fixed_rounds is None and n_after == n_before:
+            break
+        n_before = n_after
+        if n_after == 0:
+            break
+    return TrussResult(kept, rounds, metrics)

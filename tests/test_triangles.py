@@ -1,5 +1,9 @@
 from __future__ import annotations
 
+import random
+
+import pytest
+
 from pargraph_spark.operators.edges import build_edges
 from pargraph_spark.operators.extract_links import extract_links
 from pargraph_spark.operators.triangles import triangle_count
@@ -58,3 +62,64 @@ def test_clustering_coefficient_matches_python(spark):
     assert got[0] == got[1] == got[2] == 1.0
     assert got[3] == 2.0 * 3 / (4 * 3)
     assert got[4] == 0.0
+
+
+# ------------------------------ k-truss ------------------------------
+
+
+def _py_ktruss(edges, k):
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    while True:
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in und}
+        drop = {e for e, c in sup.items() if c < k - 2}
+        if not drop:
+            return {(a, b): sup[(a, b)] for a, b in und}
+        und -= drop
+        if not und:
+            return {}
+
+
+def test_ktruss_clique_plus_tail(spark):
+    from pargraph_spark.operators.triangles import ktruss
+
+    # K5 (every edge in 3 triangles -> 5-truss) + a tail that peels away
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges = clique + [(4, 10), (10, 11)]
+    res = ktruss(spark, spark.createDataFrame(edges, "src long, dst long"),
+                 k=5, num_partitions=4)
+    got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
+    assert got == {(i, j): 3 for i in range(5) for j in range(i + 1, 5)}
+
+
+@pytest.mark.parametrize("seed,k", [(3, 3), (11, 4)])
+def test_ktruss_random_vs_python(spark, seed, k):
+    from pargraph_spark.operators.triangles import ktruss
+
+    rng = random.Random(seed)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(25), rng.randrange(25)) for _ in range(140)}
+             if s != d]
+    res = ktruss(spark, spark.createDataFrame(edges, "src long, dst long"),
+                 k=k, num_partitions=4)
+    got = {(r["a"], r["b"]): r["support"] for r in res.edges.collect()}
+    assert got == _py_ktruss(edges, k)
+
+
+def test_ktruss_fixed_rounds_identity_past_fixpoint(spark):
+    from pargraph_spark.operators.triangles import ktruss
+
+    rng = random.Random(29)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(20), rng.randrange(20)) for _ in range(100)}
+             if s != d]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    adaptive = ktruss(spark, edf, k=4, num_partitions=4)
+    fixed = ktruss(spark, edf, k=4, num_partitions=4,
+                   fixed_rounds=adaptive.rounds + 2)
+    a = {(r["a"], r["b"]): r["support"] for r in adaptive.edges.collect()}
+    f = {(r["a"], r["b"]): r["support"] for r in fixed.edges.collect()}
+    assert a == f

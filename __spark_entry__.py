@@ -331,6 +331,15 @@ def _q_mis(spark, sf):
     return res.members
 
 
+def _q_salsa(spark, sf):
+    # SALSA hubs/authorities (degree-normalized walk; per-edge terms grid-
+    # quantized so double sums are exact fixed-point — see operators.hits)
+    from pargraph_spark.operators.hits import salsa
+
+    res = salsa(spark, _co_edges(spark, sf), iterations=5)
+    return res.scores
+
+
 TRUSS_K = 12       # sf0.01 cascade: 5 peel rounds, 1127-edge truss
 TRUSS_ROUNDS = 7   # fixed rounds, identity past the fixpoint
 
@@ -739,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "harmonic_kmv_3hops": _q_harmonic_kmv,
         "ktruss": _q_ktruss,
+        "salsa_5iter": _q_salsa,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -1026,6 +1036,64 @@ def _mis_sql(rounds: int, salt: str = "mis") -> str:
         )
     union = " UNION ALL ".join(f"SELECT id FROM win{r}" for r in range(1, rounds + 1))
     return "WITH " + ", ".join(parts) + " " + union
+
+
+def _salsa_sql(iters: int) -> str:
+    """Unrolled SALSA mirroring operators.hits.salsa: the HITS grid
+    discipline plus quantization of each per-edge degree-normalized term
+    (grid multiples with mass ≤ 1 sum exactly — order-independent)."""
+    m = "AS MATERIALIZED"
+    g = float(1 << 30)
+
+    def quant(expr: str) -> str:
+        return f"round(({expr}) * {g}) / {g}"
+
+    parts = [
+        E_SQL,
+        VERTS_SQL,
+        f"od {m} (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src)",
+        f"idg {m} (SELECT dst, CAST(count(*) AS DOUBLE) AS idg FROM e GROUP BY dst)",
+        f"n {m} (SELECT CAST(count(*) AS DOUBLE) AS nv FROM verts)",
+        f"h0 {m} (SELECT id, {quant('1.0 / (SELECT nv FROM n)')} AS hub FROM verts)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} {m} (SELECT e.dst AS id, sum({quant('h.hub / od.od')}) AS x "
+            f"FROM e JOIN h{t} h ON e.src = h.id JOIN od ON e.src = od.src "
+            "GROUP BY e.dst)"
+        )
+        parts.append(
+            f"af{t} {m} (SELECT v.id, coalesce(a.x, 0.0) AS x "
+            f"FROM verts v LEFT JOIN ar{t} a ON v.id = a.id)"
+        )
+        parts.append(f"at{t} {m} (SELECT sum(x) AS t FROM af{t})")
+        parts.append(
+            f"a{t} {m} (SELECT id, "
+            + quant(f"CASE WHEN (SELECT t FROM at{t}) > 0 "
+                    f"THEN x / (SELECT t FROM at{t}) ELSE 0.0 END")
+            + f" AS authority FROM af{t})"
+        )
+        parts.append(
+            f"hr{t} {m} (SELECT e.src AS id, sum({quant('a.authority / idg.idg')}) AS x "
+            f"FROM e JOIN a{t} a ON e.dst = a.id JOIN idg ON e.dst = idg.dst "
+            "GROUP BY e.src)"
+        )
+        parts.append(
+            f"hf{t} {m} (SELECT v.id, coalesce(h.x, 0.0) AS x "
+            f"FROM verts v LEFT JOIN hr{t} h ON v.id = h.id)"
+        )
+        parts.append(f"ht{t} {m} (SELECT sum(x) AS t FROM hf{t})")
+        parts.append(
+            f"h{t + 1} {m} (SELECT id, "
+            + quant(f"CASE WHEN (SELECT t FROM ht{t}) > 0 "
+                    f"THEN x / (SELECT t FROM ht{t}) ELSE 0.0 END")
+            + f" AS hub FROM hf{t})"
+        )
+    last = iters - 1
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT h.id, h.hub, a.authority FROM h{iters} h JOIN a{last} a ON h.id = a.id"
+    )
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -1713,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": _mis_sql(MIS_ROUNDS),
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
         "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
+        "salsa_5iter": _salsa_sql(5),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -112,3 +112,101 @@ def hits(
     e.unpersist()
     verts.unpersist()
     return HitsResult(out, iterations)
+
+
+@dataclass
+class SalsaResult:
+    scores: DataFrame  # (id, hub double, authority double)
+    iterations: int
+
+
+def salsa(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> SalsaResult:
+    """SALSA (Lempel & Moran 2001): the random-walk cousin of HITS —
+    contributions are DEGREE-NORMALIZED, so scores converge to the
+    stationary distribution of the alternating bipartite walk instead of
+    the dominant eigenvector, which famously resists HITS's
+    tightly-knit-community (TKC) topic-drift:
+
+        a_{t+1}(v) ∝ Σ_{u→v} h_t(u)/outdeg(u)
+        h_{t+1}(u) ∝ Σ_{u→v} a_{t+1}(v)/indeg(v)
+
+    Cross-engine determinism extends the HITS grid discipline one step:
+    the PER-EDGE term h/outdeg is itself quantized to the 2^-30 grid
+    before summing — grid multiples with total mass ≤ 1 sum EXACTLY in
+    IEEE doubles (fixed-point in disguise), so the aggregate is
+    order-independent and the unrolled SQL oracle matches bit-for-bit.
+    Same plan discipline as hits(): degree columns joined into the edge
+    table once, two partial-combined aggregates + one broadcast
+    normalizer per iteration, localCheckpoint per half-step."""
+    if iterations < 1:
+        raise ValueError(f"salsa requires iterations >= 1, got {iterations}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    od = e0.groupBy("src").agg(F.count("*").alias("_od"))
+    idg = e0.groupBy("dst").agg(F.count("*").alias("_id"))
+    e = (
+        e0.join(od, "src").join(idg, "dst")
+        .repartition(P, "src")
+        .persist()
+    )
+    e.count()
+    verts = (
+        vertices.select("id")
+        if vertices is not None
+        else e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    ).repartition(P, "id").persist()
+    n = verts.count()
+
+    def _norm_quant(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                quantize(
+                    F.when(F.col("_t") > 0, F.col(col) / F.col("_t")).otherwise(F.lit(0.0))
+                ).alias(col),
+            )
+        )
+
+    h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).localCheckpoint(eager=True)
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, e["src"] == h["id"])
+            .groupBy(e["dst"].alias("vid"))
+            .agg(F.sum(quantize(F.col("hub") / F.col("_od"))).alias("authority"))
+        )
+        a = _norm_quant(
+            verts.join(a_raw, verts["id"] == a_raw["vid"], "left")
+            .select("id", F.coalesce("authority", F.lit(0.0)).alias("authority")),
+            "authority",
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(a, e["dst"] == a["id"])
+            .groupBy(e["src"].alias("vid"))
+            .agg(F.sum(quantize(F.col("authority") / F.col("_id"))).alias("hub"))
+        )
+        new_h = _norm_quant(
+            verts.join(h_raw, verts["id"] == h_raw["vid"], "left")
+            .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        ).localCheckpoint(eager=True)
+        h.unpersist()
+        h = new_h
+    out = h.join(a, "id").select("id", "hub", "authority")
+    e.unpersist()
+    verts.unpersist()
+    return SalsaResult(out, iterations)

@@ -149,13 +149,18 @@ def core_numbers(
 
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # persist, NOT localCheckpoint: the static edge table must RETAIN its
+    # hash(v) outputPartitioning so every round's join probes it in place.
+    # A localCheckpoint scan (ExistingRDD) reports unknown partitioning and
+    # Catalyst re-exchanges the E-scale side every round (plan-test-pinned).
     sym = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .repartition(P, "v")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    sym.count()
     est = (
         sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("c"))
         .repartition(P, "id")
@@ -200,8 +205,9 @@ def core_numbers(
                 converged = True
                 break
             prev_total = total
-    return CoreNumbersResult(est.select("id", F.col("c").alias("core")),
-                             rounds, converged, metrics)
+    out = est.select("id", F.col("c").alias("core"))
+    sym.unpersist()  # est is localCheckpoint-materialized, lineage-free
+    return CoreNumbersResult(out, rounds, converged, metrics)
 
 
 def score_core(

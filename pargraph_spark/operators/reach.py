@@ -51,7 +51,11 @@ def _propagate(spark, edges, hops: int, k: int, P: int,
     localCheckpoint-materialized — intermediate hops stay valid)."""
     from pyspark.sql import Window
 
-    sym = symmetrize(edges).repartition(P, "u").localCheckpoint(eager=True)
+    # persist retains hash(u) outputPartitioning across hops; a
+    # localCheckpoint scan would report unknown partitioning and force an
+    # E-scale exchange of sym every hop (the core_numbers r4 fix)
+    sym = symmetrize(edges).repartition(P, "u").persist()
+    sym.count()
     verts = sym.select(F.col("u").alias("v")).distinct()
     rows = verts.select("v", _h15(F.col("v")).alias("h")).repartition(P, "v")
     rows = rows.localCheckpoint(eager=True)
@@ -73,6 +77,7 @@ def _propagate(spark, edges, hops: int, k: int, P: int,
         if not keep_all:
             old.unpersist()
         all_rows.append(rows)
+    sym.unpersist()  # sketch rows are localCheckpoint-materialized
     return all_rows if keep_all else rows
 
 

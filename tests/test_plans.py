@@ -191,3 +191,42 @@ def test_neighbor_sample_fanout_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     after_join = plan.split("SortMergeJoin")[0]
     assert "WindowGroupLimit" in after_join, plan
+
+
+def test_core_numbers_round_has_no_escale_exchange(spark):
+    # the scale contract in core_numbers' docstring: the E-scale join is
+    # co-partitioned (sym pre-partitioned on v, estimates on id) and the
+    # first groupBy partial-combines, so the only exchanges in a round's
+    # plan sit at histogram scale. Mirror one round's plan and assert the
+    # E-scale side (below the first HashAggregate) has no Exchange.
+    e = em._co_edges(spark, SF)
+    fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v")).distinct()
+        .repartition(8, "v").persist()
+    )
+    sym.count()
+    est = (
+        sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("c"))
+        .repartition(8, "id").localCheckpoint(eager=True)
+    )
+    cv = est.select(F.col("id").alias("v"), F.col("c").alias("_cv"))
+    raw = (
+        sym.join(cv, "v")
+        .groupBy("u", F.col("_cv").alias("xv"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    plan = _plan(raw)
+    # the persisted E-scale sym side must be probed in place: no Exchange
+    # between the join and the InMemoryTableScan (the V-scale estimate
+    # side may exchange — that's the histogram-scale cost). NOTE this is
+    # exactly why sym is persist()ed, not localCheckpoint()ed: an
+    # ExistingRDD scan reports unknown partitioning and would force an
+    # E-scale re-exchange every round.
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange hashpartitioning(v" not in prefix, plan
+    # and the aggregate partial-combines (two HashAggregate stages)
+    assert plan.count("HashAggregate") >= 2, plan
+    sym.unpersist()

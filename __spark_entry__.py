@@ -331,6 +331,22 @@ def _q_mis(spark, sf):
     return res.members
 
 
+DIAM_ROUNDS = 6    # sf0.01 eccentricities are 3; identity past convergence
+
+
+def _q_diameter(spark, sf):
+    # double-sweep diameter lower bound (Magnien et al.): BFS, re-seed at
+    # the farthest vertex (min-id tie-break), report the second
+    # eccentricity — deterministic 1-row summary
+    from pargraph_spark.operators.bfs import diameter_2sweep
+
+    est = diameter_2sweep(spark, _co_edges(spark, sf))
+    return spark.createDataFrame(
+        [(est.lower_bound, est.sweep1_far, est.n_reached)],
+        "lower_bound long, sweep1_far long, n_reached long",
+    )
+
+
 def _q_salsa(spark, sf):
     # SALSA hubs/authorities (degree-normalized walk; per-edge terms grid-
     # quantized so double sums are exact fixed-point — see operators.hits)
@@ -749,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_kmv_3hops": _q_harmonic_kmv,
         "ktruss": _q_ktruss,
         "salsa_5iter": _q_salsa,
+        "diameter_2sweep": _q_diameter,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
         "lpa_full": _q_lpa_full,
@@ -1036,6 +1053,39 @@ def _mis_sql(rounds: int, salt: str = "mis") -> str:
         )
     union = " UNION ALL ".join(f"SELECT id FROM win{r}" for r in range(1, rounds + 1))
     return "WITH " + ", ".join(parts) + " " + union
+
+
+def _diameter_sql(rounds: int) -> str:
+    """Unrolled double-sweep BFS mirroring operators.bfs.diameter_2sweep:
+    min-dist relaxation over sym (weight-1 min-plus), farthest-vertex
+    re-seed with (dist desc, id asc) tie-break; rounds past the
+    eccentricity are identity."""
+    m = "AS MATERIALIZED"
+
+    def sweep(tag: str, seed_expr: str) -> list[str]:
+        parts = [f"{tag}0 {m} (SELECT {seed_expr} AS id, 0 AS dist)"]
+        for t in range(1, rounds + 1):
+            p = t - 1
+            parts.append(
+                f"{tag}{t} {m} (SELECT id, min(dist) AS dist FROM ("
+                f"SELECT id, dist FROM {tag}{p} "
+                f"UNION ALL SELECT s.v AS id, d.dist + 1 AS dist "
+                f"FROM sym s JOIN {tag}{p} d ON s.u = d.id) GROUP BY id)"
+            )
+        return parts
+
+    parts = [E_SQL, SYM_SQL]
+    parts += sweep("d1_", "(SELECT LEAST(min(src), min(dst)) FROM e)")
+    parts.append(
+        f"farv {m} (SELECT id FROM d1_{rounds} ORDER BY dist DESC, id ASC LIMIT 1)"
+    )
+    parts += sweep("d2_", "(SELECT id FROM farv)")
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
+        f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
+        f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
+    )
 
 
 def _salsa_sql(iters: int) -> str:
@@ -1782,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
         "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
         "salsa_5iter": _salsa_sql(5),
+        "diameter_2sweep": _diameter_sql(DIAM_ROUNDS),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         "bfs_4hops": (

@@ -93,3 +93,51 @@ def bfs_distances(
         frontier = nxt.select("id")
     adj.unpersist()
     return BfsResult(dist, hops, exhausted, metrics)
+
+
+@dataclass
+class DiameterEstimate:
+    lower_bound: int      # the double-sweep eccentricity (exact on trees)
+    sweep1_far: int       # farthest vertex found by sweep 1 (the re-seed)
+    n_reached: int        # vertices in the start vertex's component
+    distances: DataFrame  # (id, dist) from the second sweep
+
+
+def diameter_2sweep(
+    spark: SparkSession,
+    edges: DataFrame,
+    start_id: int | None = None,
+    max_hops: int = 64,
+    num_partitions: int | None = None,
+) -> DiameterEstimate:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    the standard cheap diameter estimator): BFS from an arbitrary start,
+    re-seed from the farthest vertex found, and the second sweep's
+    eccentricity lower-bounds the true diameter (exact on trees, within
+    a small additive error on most real graphs). Two full BFS runs —
+    2·diameter frontier rounds, each touching only frontier-sized rows.
+
+    Determinism: the start defaults to the MINIMUM vertex id and the
+    farthest-vertex re-seed tie-breaks on min id, so the estimate is a
+    pure function of the graph. Covers the start vertex's component
+    (web-graph usage: run on the giant component after
+    connected_components)."""
+    if start_id is None:
+        start_id = edges.select(
+            F.least(F.min("src"), F.min("dst")).alias("m")
+        ).first()["m"]
+        if start_id is None:
+            raise ValueError("diameter_2sweep on an empty edge table")
+    seeds = spark.createDataFrame([(int(start_id),)], "id long")
+    first = bfs_distances(spark, edges, seeds, max_hops=max_hops)
+    far = (
+        first.distances.orderBy(F.desc("dist"), F.asc("id")).limit(1).first()
+    )
+    second = bfs_distances(
+        spark, edges,
+        spark.createDataFrame([(int(far["id"]),)], "id long"),
+        max_hops=max_hops,
+    )
+    ecc = second.distances.agg(F.max("dist")).first()[0]
+    n = second.distances.count()
+    return DiameterEstimate(int(ecc), int(far["id"]), n, second.distances)

@@ -83,3 +83,45 @@ def props_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+def value_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+    relative_error: float = 0.01,
+    exact: bool = False,
+) -> DataFrame:
+    """Quantile summary of a numeric column, optionally per group — the
+    distribution-profiling step of data-quality monitoring (token-count
+    / value / latency distributions over a 100-TB corpus).
+
+    Approximate tier (default): Greenwald–Khanna sketches via
+    ``percentile_approx(col, probs, accuracy)`` — each map task folds its
+    rows into a FIXED-SIZE summary (O(1/relative_error) tuples, not
+    O(rows)), summaries merge associatively in the partial aggregate,
+    and the answer is rank-correct within ``relative_error`` of the true
+    rank. The exact tier (``percentile``) must materialize and sort each
+    group's values — the pair is the same exact/approx contract as
+    host_reach. Tolerance-gated in pytest (rank error, not value error —
+    the GK guarantee is on ranks), deliberately not a value-oracle:
+    sketch internals are engine-specific.
+
+    Output: (group?, p, q) — one row per requested quantile."""
+    accuracy = max(1, int(1.0 / relative_error))
+    ps = list(probs)
+    agg = (
+        F.percentile(F.col(col), F.array(*[F.lit(p) for p in ps]))
+        if exact
+        else F.percentile_approx(
+            F.col(col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+        )
+    )
+    keys = [group_col] if group_col else []
+    base = df.groupBy(*keys).agg(agg.alias("_qs"))
+    pos = F.posexplode(F.col("_qs"))
+    out = base.select(*keys, pos.alias("_i", "q")).withColumn(
+        "p", F.element_at(F.array(*[F.lit(float(p)) for p in ps]), F.col("_i") + 1)
+    )
+    return out.select(*keys, "p", F.col("q").cast("double").alias("q"))

@@ -47,3 +47,48 @@ def test_bfs_hop_cap_and_direction(spark):
                              num_partitions=4)
     gd = {r["id"]: r["dist"] for r in directed.distances.collect()}
     assert gd == {1: 0, 2: 1, 3: 2}
+
+
+def test_diameter_2sweep_path_graph_exact(spark):
+    from pargraph_spark.operators.bfs import diameter_2sweep
+
+    edges = [(i, i + 1) for i in range(9)]  # path: diameter 9
+    est = diameter_2sweep(spark, spark.createDataFrame(edges, "src long, dst long"))
+    assert est.lower_bound == 9
+    assert est.n_reached == 10
+
+
+def test_diameter_2sweep_lower_bounds_true_diameter(spark):
+    import random
+
+    from pargraph_spark.operators.bfs import diameter_2sweep
+
+    rng = random.Random(47)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(30), rng.randrange(30)) for _ in range(60)}
+             if s != d]
+
+    # true diameter of the component containing min vertex, via python BFS
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def bfs(s0):
+        dist = {s0: 0}
+        q = [s0]
+        while q:
+            nq = []
+            for u in q:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nq.append(w)
+            q = nq
+        return dist
+
+    comp = bfs(min(adj))
+    true_diam = max(max(bfs(v).values()) for v in comp)
+    est = diameter_2sweep(spark, spark.createDataFrame(edges, "src long, dst long"))
+    assert est.lower_bound <= true_diam
+    assert est.lower_bound >= max(bfs(min(adj)).values())  # >= first ecc

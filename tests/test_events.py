@@ -222,3 +222,46 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         for r in sessionize(batch, gap_minutes=30).collect()
     }
     assert got == ref
+
+
+def test_value_quantiles_rank_tolerance(spark):
+    # GK guarantee is on RANKS: the returned q for prob p must sit at a
+    # true rank within relative_error * n of p * n
+    from pargraph_spark.operators.events import value_quantiles
+
+    import random
+
+    rng = random.Random(13)
+    vals = sorted(rng.expovariate(0.01) for _ in range(20_000))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    eps = 0.01
+    got = {r["p"]: r["q"] for r in
+           value_quantiles(df, "x", probs=(0.1, 0.5, 0.9, 0.99),
+                           relative_error=eps).collect()}
+    import bisect
+
+    n = len(vals)
+    for p, q in got.items():
+        lo = bisect.bisect_left(vals, q)
+        hi = bisect.bisect_right(vals, q)
+        # true rank interval of q must intersect [p*n - 2*eps*n, p*n + 2*eps*n]
+        assert lo <= p * n + 2 * eps * n and hi >= p * n - 2 * eps * n, (p, q)
+
+    exact = {r["p"]: r["q"] for r in
+             value_quantiles(df, "x", probs=(0.5,), exact=True).collect()}
+    med = exact[0.5]
+    assert abs(med - (vals[n // 2 - 1] + vals[n // 2]) / 2) < 1e-6 or \
+        vals[int(0.5 * (n - 1))] - 1e-9 <= med <= vals[int(0.5 * (n - 1)) + 1] + 1e-9
+
+
+def test_value_quantiles_grouped(spark):
+    from pargraph_spark.operators.events import value_quantiles
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {(r["g"], r["p"]): r["q"] for r in
+           value_quantiles(df, "x", group_col="g", probs=(0.5,),
+                           exact=True).collect()}
+    assert set(g for g, _ in got) == {"a", "b"}
+    for g in ("a", "b"):
+        assert 49.0 <= got[(g, 0.5)] <= 51.0

@@ -51,6 +51,7 @@ def main() -> None:
     from pargraph_spark.operators.dedup import minhash_dedup_pairs
     from pargraph_spark.operators.labelprop import label_propagation
     from pargraph_spark.operators.pagerank import pagerank
+    from pargraph_spark.operators.reach import kmv_reach
     from pargraph_spark.operators.similarity import (
         cosine_near_dup_bucketed,
         cosine_topk,
@@ -125,6 +126,9 @@ def main() -> None:
         ("embedding_near_dup_bucketed",
          lambda: cosine_near_dup_bucketed(near_dup_corpus, threshold=0.9, dim=64,
                                           num_tables=8, planes_per_table=8).count()),
+        # round-4 flagship: KMV neighborhood sketches (2 propagation hops)
+        ("kmv_reach", lambda: kmv_reach(spark, edges, hops=2, k=8,
+                                        num_partitions=shuffle).count()),
     ]
 
     for _trial in range(trials):

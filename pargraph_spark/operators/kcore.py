@@ -167,44 +167,100 @@ def core_numbers(
         .localCheckpoint(eager=True)
     )
     metrics = JobMetrics("core_numbers")
-    prev_total = None
     converged = False
     rounds = 0
     n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     w = Window.partitionBy("u").orderBy(F.col("x").desc())
-    for r in range(1, n_rounds + 1):
-        t0 = time.monotonic()
-        cv = est.select(F.col("id").alias("v"), F.col("c").alias("_cv"))
-        cu = est.select(F.col("id").alias("u"), F.col("c").alias("_cu"))
+    def _hindex(sym_side: DataFrame, cur: DataFrame) -> DataFrame:
+        """One H-index update over sym_side's (u) vertices: histogram of
+        neighbor estimates (map-side partial combine eats the edge scale),
+        clamp at own estimate AFTER histogramming (commutes), h via the
+        coreness-bounded window."""
+        cv = cur.select(F.col("id").alias("v"), F.col("c").alias("_cv"))
+        cu = cur.select(F.col("id").alias("u"), F.col("c").alias("_cu"))
         raw = (
-            sym.join(cv, "v")  # co-partitioned on v: no exchange
+            sym_side.join(cv, "v")  # co-partitioned on v: no exchange
             .groupBy("u", F.col("_cv").alias("xv"))
-            .agg(F.count("*").alias("cnt"))  # partial combine eats E-scale
+            .agg(F.count("*").alias("cnt"))
         )
-        hist = (  # clamp at own estimate AFTER histogramming (commutes)
+        hist = (
             raw.join(cu, "u")
             .select("u", F.least("xv", "_cu").alias("x"), "cnt")
             .groupBy("u", "x")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        new_est = (
+        return (
             hist.withColumn("cum", F.sum("cnt").over(w))
             .groupBy(F.col("u").alias("id"))
             .agg(F.max(F.least(F.col("cum"), F.col("x"))).alias("c"))
-            .repartition(P, "id")
-            .localCheckpoint(eager=True)
         )
-        old = est
-        est = new_est
-        old.unpersist()
-        rounds = r
-        metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0, 0, float("nan")))
-        if fixed_rounds is None:
-            total = est.agg(F.sum("c")).first()[0]
-            if total == prev_total:
+
+    if fixed_rounds is not None:
+        # lean full-recompute loop: every round is one E-scale pass, no
+        # delta bookkeeping — the right trade when rounds are few and
+        # bounded (the oracle queries), and trivially identity past the
+        # fixpoint
+        for r in range(1, n_rounds + 1):
+            t0 = time.monotonic()
+            new_est = (
+                _hindex(sym, est)
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            old = est
+            est = new_est
+            old.unpersist()
+            rounds = r
+            metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
+                                        0, float("nan")))
+    else:
+        # Delta rounds (the long-tail accelerator): h(u) can only change
+        # if a neighbor's estimate changed OR u's own did (the clamp uses
+        # it), so each round recomputes ONLY cand = changed ∪
+        # neighbors(changed) and carries everyone else forward. Values are
+        # IDENTICAL to the full recompute (an untouched vertex's histogram
+        # is unchanged). The h-index fixpoint's round count is
+        # graph-dependent (19 at sf0.01, 100+ on sf0.1's denser co-graph)
+        # with a long tail where a handful of vertices ping for tens of
+        # rounds — the delta form makes those rounds cand-scale, not
+        # E-scale, and convergence detection is changed == ∅ (no Σ job).
+        changed = est.select("id")  # round 1: everything
+        for r in range(1, n_rounds + 1):
+            t0 = time.monotonic()
+            cand = (
+                changed.select(F.col("id").alias("v"))
+                .join(sym, "v")
+                .select(F.col("u").alias("id"))
+                .unionByName(changed)
+                .distinct()
+            )
+            sym_f = sym.join(
+                cand.select(F.col("id").alias("u")), "u", "left_semi"
+            )
+            h_new = _hindex(sym_f, est)
+            rest = est.join(cand, "id", "left_anti")
+            new_est = (
+                rest.unionByName(h_new)
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            new_changed = (
+                h_new.join(est.select("id", F.col("c").alias("_old")), "id")
+                .where(F.col("c") != F.col("_old"))
+                .select("id")
+                .localCheckpoint(eager=True)
+            )
+            old = est
+            est = new_est
+            old.unpersist()
+            changed = new_changed
+            rounds = r
+            n_changed = changed.count()
+            metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
+                                        0, float(n_changed)))
+            if n_changed == 0:
                 converged = True
                 break
-            prev_total = total
     out = est.select("id", F.col("c").alias("core"))
     sym.unpersist()  # est is localCheckpoint-materialized, lineage-free
     return CoreNumbersResult(out, rounds, converged, metrics)

@@ -142,8 +142,21 @@ def core_numbers(
 
     fixed_rounds: run exactly that many rounds with no convergence jobs
     (for oracle parity; the result's `converged` flag stays False because
-    nothing checked it); otherwise iterate to the fixpoint, detected via
-    the monotone Σc(u) (one cheap aggregate per round, no extra join).
+    nothing checked it); otherwise iterate with DELTA rounds (see below)
+    until the changed set empties.
+
+    Round-count honesty: the H-index fixpoint's iteration count is
+    graph-dependent and can be LONG — 19 rounds on the sf0.01 co-graph,
+    but 400+ on sf0.1's denser one (measured; the tail is a shrinking
+    set of vertices decrementing by 1 per round — the known worst case
+    of this iteration). If max_rounds is hit first, the returned
+    estimates are still a well-defined MONOTONE UPPER BOUND on coreness
+    (estimates only decrease toward the true value) with
+    converged=False. For a bounded-round exact answer at a specific k,
+    use kcore()'s peel instead; for full decomposition on graphs with a
+    long tail, raise max_rounds — delta rounds make tail rounds
+    candidate-scale, so the cost is dominated by round COUNT (driver
+    scheduling), not data.
     """
     from pyspark.sql import Window
 

@@ -532,6 +532,20 @@ def _q_winnow_fingerprints(spark, sf):
 
 
 WINNOW_CAP = 50  # hot-fingerprint posting cap for the capped variant
+TFIDF_CAP = 50        # hot-term posting cap (df > cap dropped pre-join)
+TFIDF_THRESHOLD = 0.2
+
+
+def _q_tfidf_cosine_pairs(spark, sf):
+    from pargraph_spark.operators.dedup import tfidf_cosine_pairs
+
+    # integer-weight tf-idf cosine: every aggregate is a BIGINT sum, the
+    # final cast/multiply/sqrt/divide chain is correctly-rounded IEEE on
+    # exact inputs, so the unrounded doubles hash-match the oracle
+    return tfidf_cosine_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        threshold=TFIDF_THRESHOLD, max_postings=TFIDF_CAP,
+    )
 
 
 def _q_winnow_pairs_capped(spark, sf):
@@ -713,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_token_count": _q_regex_token_count,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_pairs_capped": _q_winnow_pairs_capped,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
         "event_sessionize": _q_event_sessionize,
         "event_props_stats": _q_event_props_stats,
@@ -1858,6 +1873,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.id AS a, r.id AS b, count(*) AS shared "
             "FROM wk l JOIN wk r ON l.wfp = r.wfp AND l.id < r.id "
             "GROUP BY l.id, r.id HAVING count(*) >= 30"
+        ),
+        "tfidf_cosine_pairs": (
+            # mirrors operators.dedup.tfidf_cosine_pairs: integer weights
+            # w = tf * (N - df + 1); norms over FULL vectors, dot over the
+            # capped postings; final float chain is correctly-rounded IEEE
+            f"WITH {DOCS_NORM_SQL}, "
+            "tok AS MATERIALIZED (SELECT doc_id AS id, unnest(toks) AS term FROM t), "
+            "tf AS MATERIALIZED (SELECT id, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY id, term), "
+            "dfreq AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY term), "
+            "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents), "
+            "w AS MATERIALIZED (SELECT tf.id, tf.term, "
+            "CAST(tf.tf * (nd.n - dfreq.df + 1) AS BIGINT) AS w "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), "
+            "nrm AS MATERIALIZED (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 "
+            "FROM w GROUP BY id), "
+            f"keep AS MATERIALIZED (SELECT term FROM w GROUP BY term "
+            f"HAVING count(*) <= {TFIDF_CAP}), "
+            "wk AS MATERIALIZED (SELECT w.id, w.term, w.w FROM w JOIN keep USING (term)), "
+            "dots AS MATERIALIZED (SELECT l.id AS a, r.id AS b, "
+            "CAST(sum(l.w * r.w) AS BIGINT) AS dot "
+            "FROM wk l JOIN wk r ON l.term = r.term AND l.id < r.id GROUP BY l.id, r.id) "
+            "SELECT d.a, d.b, CAST(d.dot AS DOUBLE) / "
+            "sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos "
+            "FROM dots d JOIN nrm na ON na.id = d.a JOIN nrm nb ON nb.id = d.b "
+            "WHERE CAST(d.dot AS DOUBLE) / "
+            f"sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= {TFIDF_THRESHOLD}"
         ),
         "ann_lsh": _ann_sql(),
         "embedding_near_dup_bucketed": _near_dup_bucketed_sql(),

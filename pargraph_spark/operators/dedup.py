@@ -281,3 +281,84 @@ def minhash_dedup_pairs(
         max_postings=max_postings,
     )
     return jaccard_verify(cands, sh, threshold)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Embedding-free document similarity: tf-idf-weighted cosine over
+    sparse term vectors, computed as a posting-list join — the weighted
+    companion of the set-based tiers (Jaccard / winnowing / SimHash).
+
+    Weighting: w(t, d) = tf(t, d) · (N − df(t) + 1), the integer idf
+    surrogate — monotone decreasing in df like idf, but EXACT: every
+    weight, dot product, and squared norm is a BIGINT sum, so the
+    aggregations are order-independent and cross-engine byte-identical
+    (ln-based idf is only ulp-identical, which breaks a value oracle; the
+    same reasoning as top_terms' ln-free BM25 ranking). The only float
+    ops are the final cast / multiply / sqrt / divide — all correctly
+    rounded IEEE on exact inputs, hence bit-identical across engines:
+        cos(a, b) = dot / sqrt(double(‖a‖²) · double(‖b‖²))
+    (the two norms are cast to double BEFORE multiplying: a BIGINT
+    product of two ~1e13 norms would overflow, the double product is
+    correctly rounded).
+
+    Scale shape (the winnow_pairs blueprint): explode → (doc, term) tf
+    with map-side partial combine; df partial-combined on term; N enters
+    as a broadcast 1-row aggregate; norms are one partial-combined
+    groupBy over the weighted postings; the pair join is a posting-list
+    self-join on term, never all-pairs, with `max_postings` dropping
+    terms in more than that many docs before the join (broadcast
+    anti-join via _drop_hot_buckets) — a term in m docs emits m(m−1)/2
+    pair rows, and stopword-scale terms carry ~zero idf weight anyway,
+    so the cap bounds the fan-out at max_postings²/term while barely
+    moving the scores. Norms are computed over the FULL vectors (caps
+    prune candidate generation, not the geometry).
+
+    Returns (a, b, cos) for a < b with cos ≥ threshold. Docs sharing no
+    surviving term never pair (cos ≈ 0 for tf-idf vectors anyway).
+    Overflow audit: weights ≤ tf·N; BIGINT holds Σw² up to 2^63 — fine
+    through ~1e8 docs with bounded doc length; beyond that switch the
+    weights to doubles and verify with a tolerance gate instead of the
+    exact oracle.
+    """
+    from pargraph_spark.functions.text import tokens
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy("id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("long").alias("_n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * (F.col("_n") - F.col("df") + F.lit(1))).cast("long").alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    wk = _drop_hot_buckets(w, ["term"], max_postings) if max_postings is not None else w
+    dots = (
+        wk.select(F.col("id").alias("a"), "term", F.col("w").alias("wa"))
+        .join(
+            wk.select(F.col("id").alias("b"), "term", F.col("w").alias("wb")),
+            "term",
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na2").cast("double") * F.col("nb2").cast("double")
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("a"), F.col("n2").alias("na2")), "a")
+        .join(norms.select(F.col("id").alias("b"), F.col("n2").alias("nb2")), "b")
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )

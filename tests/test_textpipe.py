@@ -308,3 +308,70 @@ def test_top_terms_matches_python_oracle(spark):
     assert got == expect
     # empty/null docs contribute no rows but DO count toward N
     assert not any(d in (4, 5) for d, _ in got)
+
+
+def test_tfidf_cosine_pairs_matches_numpy_reference(spark):
+    # integer-weight tf-idf cosine vs a straightforward numpy mirror
+    from collections import Counter
+
+    import numpy as np
+
+    from pargraph_spark.operators.dedup import tfidf_cosine_pairs
+
+    texts = {
+        0: "apple banana cherry apple",
+        1: "apple banana cherry",
+        2: "dog cat mouse",
+        3: "dog cat mouse dog",
+        4: "quantum flux capacitor",
+        5: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["cos"]
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+
+    toks = {d: t.split() if t else [] for d, t in texts.items()}
+    n = len(texts)
+    dfreq = Counter()
+    for t in toks.values():
+        dfreq.update(set(t))
+    vocab = sorted(dfreq)
+    vecs = {}
+    for d, t in toks.items():
+        tf = Counter(t)
+        vecs[d] = np.array(
+            [tf[w] * (n - dfreq[w] + 1) for w in vocab], dtype=np.float64
+        )
+    for a in range(n):
+        for b in range(a + 1, n):
+            va, vb = vecs[a], vecs[b]
+            dot = float(va @ vb)
+            if dot == 0.0:
+                # no shared term -> never paired by the posting-list join
+                assert (a, b) not in got
+                continue
+            want = dot / math.sqrt(float(va @ va) * float(vb @ vb))
+            assert math.isclose(got[(a, b)], want, rel_tol=1e-12), (a, b)
+    # identical-content docs score 1 exactly after scaling
+    assert got[(2, 3)] < 1.0 and got[(0, 1)] < 1.0
+
+
+def test_tfidf_cosine_hot_term_cap(spark):
+    # a corpus-wide boilerplate term must not drive the pair join
+    # quadratic when capped — and capped pairs keep full-vector norms
+    from pargraph_spark.operators.dedup import tfidf_cosine_pairs
+
+    n = 30
+    rows = [(i, f"common filler words everywhere payload{i} payload{(i + 1) % n}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0)
+    capped = tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0, max_postings=5)
+    assert uncapped.count() == n * (n - 1) // 2
+    got = {(r["a"], r["b"]): r["cos"] for r in capped.collect()}
+    # only the payload-sharing neighbours survive the cap...
+    assert 0 < len(got) < n * (n - 1) // 2
+    # ...and their cosine is computed against FULL norms, so it is below 1
+    assert all(0.0 < c < 1.0 for c in got.values())

@@ -145,6 +145,27 @@ def _q_connected_components(spark, sf):
     return res.components
 
 
+def _q_cc_incremental(spark, sf):
+    # warm-start exactness contract: split the capped subgraph
+    # deterministically into "old" and "appended" halves, run CC on old,
+    # then incremental CC seeded from those components + the appended
+    # half. The result must equal cold CC over the FULL capped graph —
+    # the oracle is the same recursive-CTE fixpoint as
+    # `connected_components`.
+    from pargraph_spark.operators.components import (
+        connected_components_incremental,
+    )
+
+    e = _co_edges(spark, sf).where(
+        (F.col("src") < CC_CAP) & (F.col("dst") < CC_CAP)
+    )
+    old = e.where((F.col("src") + F.col("dst")) % 2 == 0)
+    appended = e.where((F.col("src") + F.col("dst")) % 2 != 0)
+    prev = connected_components(spark, old)
+    res = connected_components_incremental(spark, prev.components, appended)
+    return res.components
+
+
 def _q_triangles_per_vertex(spark, sf):
     return triangles_per_vertex(_co_edges(spark, sf))
 
@@ -689,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_build": _q_edge_build,
         "degrees": _q_degrees,
         "connected_components": _q_connected_components,
+        "cc_incremental": _q_cc_incremental,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
         "pagerank_30iter": _q_pagerank_30iter,
@@ -1707,6 +1729,20 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id"
         ),
         "connected_components": (
+            "WITH RECURSIVE "
+            "eb AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            f"AND a.l_partkey < b.l_partkey "
+            f"WHERE a.l_partkey < {CC_CAP} AND b.l_partkey < {CC_CAP}), "
+            "sym AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb), "
+            "reach(v, r) AS (SELECT u, u FROM sym UNION "
+            "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.v) "
+            "SELECT v AS id, min(r) AS component FROM reach GROUP BY v"
+        ),
+        # warm == cold by construction: the incremental run must reproduce
+        # the full-graph fixpoint, so the oracle is the identical
+        # recursive-CTE CC over the WHOLE capped edge set
+        "cc_incremental": (
             "WITH RECURSIVE "
             "eb AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
             "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "

@@ -175,3 +175,52 @@ def connected_components(
     all_vertices.unpersist()
     e.unpersist()
     return ComponentsResult(comp, rounds, converged, metrics)
+
+
+def connected_components_incremental(
+    spark: SparkSession,
+    prev_components: DataFrame,
+    new_edges: DataFrame,
+    **kwargs,
+) -> ComponentsResult:
+    """Cross-run warm start for CC over edge-store appends (VERDICT r4 #6
+    — the components counterpart of pagerank's warm_start).
+
+    prev_components: a previous run's (id, component) assignment over the
+    OLD edge set. new_edges(src, dst): the appended edges only. Returns
+    components of the UNION graph (old ∪ appended), exactly equal to a
+    cold run over the union.
+
+    Why it is exact: the seed edge set replaces the old edges with the
+    previous assignment's STAR edges {(id, component) : id ≠ component} —
+    a spanning structure with the identical connectivity (every old
+    component is one depth-1 star). CC is a pure function of
+    connectivity, so the fixpoint over star ∪ appended edges equals the
+    fixpoint over old ∪ appended.
+
+    Why it is fast: the old graph's structure is already fully collapsed,
+    so rounds are governed by the merge chains the APPENDED edges create
+    between component roots — O(log |components touched|), independent of
+    the old graph's diameter; and the seed edge set is V-scale (≤ one
+    edge per old vertex), not E-scale, so every round shuffles at most
+    V + |appended| rows. On a 100-TB graph receiving daily crawl
+    appends, this turns CC maintenance from a full-graph job into one
+    proportional to the append and the vertex dictionary.
+
+    Isolated old vertices (id == component, no appended edge) pass
+    through via the vertex union. Extra kwargs (max_rounds,
+    checkpoint_dir, ...) forward to connected_components.
+    """
+    star = prev_components.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    seed = star.unionByName(
+        new_edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    )
+    all_vertices = (
+        prev_components.select("id")
+        .unionByName(new_edges.select(F.col("src").alias("id")))
+        .unionByName(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components(spark, seed, vertices=all_vertices, **kwargs)

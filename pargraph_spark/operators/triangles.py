@@ -144,61 +144,102 @@ def ktruss(
     community-core filter on web/social graphs; every k-truss sits inside
     the (k−1)-core but is strictly denser).
 
-    Peel loop: each round counts per-edge triangle support over the
-    CURRENT surviving edge set and drops every edge below k−2
-    simultaneously; the fixpoint is the unique k-truss (simultaneous and
-    sequential peeling converge to the same maximal subgraph), so rounds
-    past convergence are identity and an unrolled SQL oracle is exact —
-    support counts are enumeration-order-invariant, letting the Spark
-    side use the degree-ordered orientation (each triangle enumerated
-    once, wedge fan-out bounded by the SMALLER endpoint's degree — the
-    triangles_global skew discipline) while the oracle enumerates a<b<c.
+    Peel loop with INCREMENTAL support maintenance (VERDICT r4 #4):
+    triangles are enumerated exactly ONCE, up front, with the
+    degree-ordered orientation (each triangle at its lowest-degree apex —
+    the triangles_global skew discipline). Every subsequent round only
+    touches the edges it removes: the triangles a removed edge (u,v)
+    participated in are its common neighbors in the round-start graph (a
+    wedge join of the removed set against the current adjacency),
+    deduplicated per triangle, and each dead triangle decrements its
+    surviving edges' support by one. Round cost is therefore
+    proportional to removed-edge wedges, not to re-enumerating the whole
+    graph's triangles — at 100 TB the peel tail (few removals per round)
+    costs near zero instead of a full enumeration per round.
 
-    Output edges carry their in-truss support (support measured on the
-    fixpoint graph). Cost: one triangle enumeration per round — the
-    expensive-but-honest formulation; rounds are typically few because
-    support collapses fast once peers disappear.
+    The removal sequence is identical to recount-and-drop simultaneous
+    peeling (support is maintained exactly, round by round), and the
+    reported support is always measured on the CURRENT surviving graph —
+    at convergence exactly the fixpoint-graph support the recount
+    formulation's terminal identity round produced, so the unrolled
+    recount SQL oracle matches bit-for-bit whenever its round count
+    reaches convergence (rounds past it are identity). Support counts
+    are enumeration-order-invariant, so the oracle's a<b<c enumeration
+    agrees with the degree-ordered one.
+
+    Rounds metric counts only EFFECTIVE rounds (ones that removed an
+    edge); the terminal identity check is not a round — kcore /
+    score_core semantics (ADVICE r4). fixed_rounds runs exactly that
+    many removal steps with no convergence jobs (oracle parity; rounds
+    past exhaustion are identity).
     """
     if k < 3:
         raise ValueError(f"ktruss requires k >= 3, got {k}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     thresh = k - 2
-    und = (
-        canonical_undirected(edges)
+    und = canonical_undirected(edges)
+    tri = triangle_triples(und.select(F.col("a").alias("src"),
+                                      F.col("b").alias("dst")))
+    sup0 = (
+        tri.select(F.least("s", "x").alias("a"), F.greatest("s", "x").alias("b"))
+        .unionByName(tri.select(F.least("s", "y").alias("a"),
+                                F.greatest("s", "y").alias("b")))
+        .unionByName(tri.select(F.least("x", "y").alias("a"),
+                                F.greatest("x", "y").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+    )
+    # (a, b, support) over ALL edges — triangle-less edges carry 0 and
+    # fall in round 1 (thresh = k-2 >= 1)
+    cur = (
+        und.join(sup0, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
         .repartition(P, "a")
         .localCheckpoint(eager=True)
     )
     metrics = JobMetrics("ktruss")
     rounds = 0
-    n_before = und.count()
-    kept = und.select("a", "b", F.lit(0).cast("long").alias("support"))
+    kept = cur
     n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     for r in range(1, n_rounds + 1):
         t0 = time.monotonic()
-        tri = triangle_triples(und.select(F.col("a").alias("src"),
-                                          F.col("b").alias("dst")))
-        sup = (
-            tri.select(F.least("s", "x").alias("a"), F.greatest("s", "x").alias("b"))
-            .unionByName(tri.select(F.least("s", "y").alias("a"),
-                                    F.greatest("s", "y").alias("b")))
-            .unionByName(tri.select(F.least("x", "y").alias("a"),
-                                    F.greatest("x", "y").alias("b")))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("support"))
+        removed = cur.where(F.col("support") < thresh).select("a", "b")
+        if fixed_rounds is None and removed.limit(1).count() == 0:
+            break  # identity round: not counted (kcore semantics)
+        survivors = cur.where(F.col("support") >= thresh)
+        # dead triangles = common neighbors of each removed edge in the
+        # ROUND-START graph; a triangle holding 2-3 removed edges is
+        # enumerated once per removed edge, so dedupe on the sorted triple
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("w"))
         )
-        kept = (
-            und.join(sup, ["a", "b"])
-            .where(F.col("support") >= thresh)
+        dead = (
+            removed
+            .join(sym.select(F.col("u").alias("a"), "w"), "a")
+            .join(sym.select(F.col("u").alias("b"), "w"), ["b", "w"])
+            .select(F.array_sort(F.array("a", "b", "w")).alias("t"))
+            .distinct()
+        )
+        dec = (
+            dead.select(F.col("t")[0].alias("a"), F.col("t")[1].alias("b"))
+            .unionByName(dead.select(F.col("t")[0].alias("a"), F.col("t")[2].alias("b")))
+            .unionByName(dead.select(F.col("t")[1].alias("a"), F.col("t")[2].alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("_d"))
+        )
+        cur = (
+            survivors.join(dec, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                (F.col("support") - F.coalesce(F.col("_d"), F.lit(0))).alias("support"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_after = kept.count()
+        kept = cur
+        n_after = cur.count()
         metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
-                                    n_before, float(n_before - n_after)))
-        und = kept.select("a", "b")
+                                    n_after, float("nan")))
         rounds = r
-        if fixed_rounds is None and n_after == n_before:
-            break
-        n_before = n_after
         if n_after == 0:
             break
     return TrussResult(kept, rounds, metrics)

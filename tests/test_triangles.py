@@ -123,3 +123,21 @@ def test_ktruss_fixed_rounds_identity_past_fixpoint(spark):
     a = {(r["a"], r["b"]): r["support"] for r in adaptive.edges.collect()}
     f = {(r["a"], r["b"]): r["support"] for r in fixed.edges.collect()}
     assert a == f
+
+
+def test_ktruss_cascade_rounds_metric(spark):
+    # seed 11 / k=4 cascades for 9 effective peel rounds (python mirror);
+    # `rounds` counts only rounds that removed an edge — the terminal
+    # identity check is excluded (ADVICE r4, kcore/score_core semantics),
+    # and the incremental support maintenance must survive a long cascade
+    from pargraph_spark.operators.triangles import ktruss
+
+    rng = random.Random(11)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(25), rng.randrange(25)) for _ in range(140)}
+             if s != d]
+    res = ktruss(spark, spark.createDataFrame(edges, "src long, dst long"),
+                 k=4, num_partitions=4)
+    assert {(r["a"], r["b"]): r["support"] for r in res.edges.collect()} == \
+        _py_ktruss(edges, 4)
+    assert res.rounds == 9, res.rounds

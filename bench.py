@@ -100,11 +100,23 @@ def main() -> None:
     # it wins only the low-parallelism regime (2 cores) and loses to the
     # dataframe plan at >= 8 — demoted to documented-reference status per
     # the r2 verdict criterion (modes-agree correctness stays pytest-pinned).
-    ops = [
+    def run_edge_build():
         # fresh unpersisted build each trial: times scan + self-join +
-        # distinct end-to-end (the persisted copy above is untouched)
-        ("edge_build",
-         lambda: entrymod._co_edges(spark, sf_dir).count()),
+        # distinct end-to-end (the persisted copy above is untouched).
+        # Guard (ADVICE r4): the cache-dodge above relies on canonical-plan
+        # mismatch; if an optimizer change ever re-matches the plans, the
+        # trial would silently time an InMemoryTableScan read — fail loudly
+        # instead of recording a fake 0.6s edge_build.
+        df = entrymod._co_edges(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan, (
+            "edge_build trial plan substituted the persisted cache; "
+            "the redundant-Filter dodge no longer de-duplicates plans"
+        )
+        df.count()
+
+    ops = [
+        ("edge_build", run_edge_build),
         ("pagerank", run_pagerank),
         ("connected_components", run_cc),
         ("label_propagation",

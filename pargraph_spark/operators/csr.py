@@ -91,7 +91,7 @@ def write_csr_store(edges: DataFrame, num_blocks: int, path: str) -> None:
     executor — any temp dir in local mode, a shared mount (NFS / fuse-
     mounted object store) on a cluster. URI schemes (hdfs://, s3a://) are
     rejected up front rather than silently resolving to zero blocks."""
-    _check_local_store_path(path)
+    path = _check_local_store_path(path)
     (
         build_csr_blocks(edges, num_blocks)
         .repartition(num_blocks, "pid")
@@ -119,13 +119,36 @@ def _prep_block(srcs, indptr, dsts) -> dict:
     }
 
 
-def _check_local_store_path(path: str) -> None:
+def _check_local_store_path(path: str) -> str:
+    """Validate AND normalize a store path to plain POSIX form.
+
+    'file:'-scheme URIs are accepted but stripped (ADVICE r4: they used
+    to pass validation, Spark would write to the POSIX path, and then
+    every executor read failed os.stat on the literal 'file:/...' string
+    with a misleading missing-_SUCCESS error). Non-local schemes and
+    non-local file:// hosts are rejected up front."""
     if "://" in path and not path.startswith("file:"):
         raise ValueError(
             f"CSR store path {path!r} has a non-local URI scheme; the block "
             "store requires a POSIX-visible path (executors read it with "
             "os.stat + local pyarrow). Use a shared mount on a cluster."
         )
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            rest = rest[2:]
+            slash = rest.find("/")
+            host = rest[:slash] if slash >= 0 else rest
+            if host not in ("", "localhost"):
+                raise ValueError(
+                    f"CSR store path {path!r} names remote host {host!r}; "
+                    "executors read the store with local POSIX I/O."
+                )
+            rest = rest[slash:] if slash >= 0 else ""
+        if not rest.startswith("/"):
+            raise ValueError(f"file: CSR store path {path!r} is not absolute")
+        return rest
+    return path
 
 
 def _load_blocks(store: str, pid: int) -> list[dict]:
@@ -136,6 +159,7 @@ def _load_blocks(store: str, pid: int) -> list[dict]:
     empty block list and converge PageRank to the teleport vector
     (ADVICE r3). A missing pid=K partition under a valid root is fine:
     a pid no src hashes to legitimately has zero blocks."""
+    store = _check_local_store_path(store)
     success = os.path.join(store, "_SUCCESS")
     try:
         gen = os.stat(success).st_mtime_ns

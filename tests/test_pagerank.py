@@ -301,3 +301,23 @@ def test_csr_store_rejects_remote_uri(spark):
     edf = spark.createDataFrame([(1, 2)], EDGE_SCHEMA)
     with pytest.raises(ValueError, match="POSIX"):
         write_csr_store(edf, 2, "s3a://bucket/store")
+
+
+def test_csr_store_file_uri_normalizes(spark, tmp_path):
+    # ADVICE r4: a 'file:'-scheme path used to pass validation, write via
+    # Spark, then fail every executor read with a misleading
+    # missing-_SUCCESS error. Now both writer and reader normalize it.
+    import pytest
+
+    from pargraph_spark.operators.csr import _check_local_store_path
+
+    assert _check_local_store_path("/tmp/x") == "/tmp/x"
+    assert _check_local_store_path("file:/tmp/x") == "/tmp/x"
+    assert _check_local_store_path("file:///tmp/x") == "/tmp/x"
+    assert _check_local_store_path("file://localhost/tmp/x") == "/tmp/x"
+    with pytest.raises(ValueError, match="remote host"):
+        _check_local_store_path("file://otherhost/tmp/x")
+    with pytest.raises(ValueError, match="non-local URI scheme"):
+        _check_local_store_path("hdfs://nn/tmp/x")
+    with pytest.raises(ValueError, match="not absolute"):
+        _check_local_store_path("file:tmp/x")

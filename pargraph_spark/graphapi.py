@@ -156,8 +156,9 @@ class Delayed:
         self.name = name or getattr(fn, "__name__", "task")
 
     # ---- execution ------------------------------------------------------
-    def compute(self, scheduler: str = "threads", max_workers: int = 8) -> Any:
-        return compute(self, scheduler=scheduler, max_workers=max_workers)[0]
+    def compute(self, scheduler: str = "threads", max_workers: int = 8,
+                **kw: Any) -> Any:
+        return compute(self, scheduler=scheduler, max_workers=max_workers, **kw)[0]
 
     def to_graph(self) -> "TaskGraph":
         return TaskGraph([self])
@@ -408,7 +409,40 @@ def _walk(roots: list[Delayed]) -> list[Delayed]:
     return order
 
 
-def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -> list[Any]:
+class Backend:
+    """Pluggable executor protocol (reference engine.py:16-18): anything
+    with ``submit(fn, *args, **kwargs) -> concurrent.futures.Future``.
+    Every ``concurrent.futures.Executor`` already satisfies it; subclass
+    this (or duck-type) to route node execution elsewhere — e.g. a pool
+    with per-query Spark scheduler pools, or a remote submission shim."""
+
+    def submit(self, fn: Callable, /, *args: Any, **kwargs: Any):
+        raise NotImplementedError
+
+
+def _unbound_input(*, key: str) -> Any:
+    raise ValueError(
+        f"external input {key!r} is unbound; pass inputs={{{key!r}: value}} "
+        "to compute()"
+    )
+
+
+def external_input(name: str) -> Delayed:
+    """Placeholder node whose value binds at COMPUTE time, not trace time
+    (reference decorators.py:97-103 unbound inputs): build a graph once,
+    serialize it, then run it against different inputs via
+    ``compute(root, inputs={name: value})``. Unbound at execution →
+    a clear ValueError naming the missing input."""
+    return Delayed(_unbound_input, (), {"key": name}, name=f"input:{name}")
+
+
+def compute(
+    *roots: Delayed,
+    scheduler: str = "threads",
+    max_workers: int = 8,
+    backend: Backend | None = None,
+    inputs: dict[str, Any] | None = None,
+) -> list[Any]:
     """Execute the DAG under the given roots; returns one result per root.
 
     scheduler="threads" runs independent ready nodes concurrently in a
@@ -416,9 +450,13 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
     Spark counterpart of the reference's process backends, which would
     only add pickling overhead around JVM-side work).
     scheduler="sync" runs nodes sequentially in topological order.
+    backend: optional Backend/Executor whose submit() replaces the
+    built-in thread pool (frontier scheduling is unchanged; sync mode
+    ignores it). inputs: values for external_input() placeholders.
     Shared nodes are computed exactly once (memoized per compute call).
-    Delayed nodes nested inside list/tuple/dict arguments are resolved
-    in place (the container is rebuilt with results substituted)."""
+    Delayed nodes nested inside list/tuple/set/dict arguments are
+    resolved in place (the container is rebuilt with results
+    substituted)."""
     if scheduler not in ("threads", "sync"):
         raise ValueError(f"unknown scheduler {scheduler!r}")
     order = _walk(list(roots))
@@ -438,6 +476,11 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
         return v
 
     def run(node: Delayed):
+        if node.fn is _unbound_input:
+            key = node.kwargs["key"]
+            if inputs is not None and key in inputs:
+                return inputs[key]
+            _unbound_input(key=key)  # raises with the missing-input message
         args = [resolve(a) for a in node.args]
         kwargs = {k: resolve(v) for k, v in node.kwargs.items()}
         return node.fn(*args, **kwargs)
@@ -459,11 +502,13 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
             for d in ds:
                 dependents.setdefault(d, []).append(nid)
         unresolved = {nid: len(ds) for nid, ds in deps.items()}
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=max_workers) if backend is None else None
+        submitter = pool.submit if backend is None else backend.submit
+        try:
             inflight: dict[Any, int] = {}
 
             def submit(nid: int) -> None:
-                inflight[pool.submit(run, nodes[nid])] = nid
+                inflight[submitter(run, nodes[nid])] = nid
 
             for nid, k in unresolved.items():
                 if k == 0:
@@ -477,6 +522,9 @@ def compute(*roots: Delayed, scheduler: str = "threads", max_workers: int = 8) -
                         unresolved[m] -= 1
                         if unresolved[m] == 0:
                             submit(m)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=True)
     return [results[id(r)] for r in roots]
 
 
@@ -582,8 +630,9 @@ class TaskGraph:
     def __init__(self, roots: list[Delayed]):
         self.roots = roots
 
-    def compute(self, scheduler: str = "threads", max_workers: int = 8) -> list[Any]:
-        return compute(*self.roots, scheduler=scheduler, max_workers=max_workers)
+    def compute(self, scheduler: str = "threads", max_workers: int = 8,
+                **kw: Any) -> list[Any]:
+        return compute(*self.roots, scheduler=scheduler, max_workers=max_workers, **kw)
 
     # ---- serialization --------------------------------------------------
     def to_json(self) -> str:

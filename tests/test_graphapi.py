@@ -525,3 +525,52 @@ def test_delayed_in_set_and_nonstr_dict_resolves_and_roundtrips():
     assert TaskGraph.from_json(s).compute() == [35]
     g2 = TaskGraph([from_set(frozenset({base(), 1}))])
     assert TaskGraph.from_json(g2.to_json()).compute() == [6]
+
+
+def test_pluggable_backend_submit():
+    # reference engine.py:16-18 Backend protocol: any submit() -> Future
+    # object replaces the built-in pool; the frontier still drives it
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pargraph_spark.graphapi import Backend, compute, delayed
+
+    class CountingBackend(Backend):
+        def __init__(self):
+            self.pool = ThreadPoolExecutor(max_workers=2)
+            self.submitted = 0
+
+        def submit(self, fn, /, *args, **kwargs):
+            self.submitted += 1
+            return self.pool.submit(fn, *args, **kwargs)
+
+    @delayed
+    def add(a, b) -> int:
+        return a + b
+
+    be = CountingBackend()
+    root = add(add(1, 2), add(3, 4))
+    assert compute(root, backend=be) == [10]
+    assert be.submitted == 3  # every node went through the custom backend
+    be.pool.shutdown()
+
+
+def test_external_input_binds_at_compute_time():
+    # reference decorators.py:97-103: unbound placeholder, bound per run —
+    # the same serialized graph replays against different inputs
+    import pytest
+
+    from pargraph_spark.graphapi import TaskGraph, delayed, external_input
+
+    @delayed
+    def scale(x, k) -> int:
+        return x * k
+
+    x = external_input("x")
+    root = scale(x, 3)
+    assert root.compute(inputs={"x": 5}) == 15
+    assert root.compute(inputs={"x": 7}) == 21
+    with pytest.raises(ValueError, match="external input 'x' is unbound"):
+        root.compute()
+    # placeholders survive the JSON round-trip (fn pickles by reference)
+    g = TaskGraph.from_json(TaskGraph([root]).to_json())
+    assert g.compute(inputs={"x": 4}) == [12]

@@ -52,6 +52,7 @@ import functools
 import inspect
 import json
 import operator
+import re
 import warnings
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from typing import Annotated, Any, Callable, get_args, get_origin
@@ -614,6 +615,66 @@ def get(dsk: dict, keys, scheduler: str = "threads", max_workers: int = 8):
     return unbuild(built)
 
 
+# ---- pargraph wire-format helpers (reference objects.py:36-101) ----------
+
+_PG_KEY = r"[a-zA-Z0-9_]+(\.[a-zA-Z0-9_]+)*"
+_PG_KEY_RE = re.compile(rf"^{_PG_KEY}$")
+_PG_SRC_RE = re.compile(
+    rf"^(consts|inputs):{_PG_KEY}$|^nodes:{_PG_KEY}:outputs:{_PG_KEY}$"
+)
+_PG_DST_RE = re.compile(rf"^nodes:{_PG_KEY}:inputs:{_PG_KEY}$")
+
+
+class _NamedArgsAdapter:
+    """Wire-format shim: the pargraph FunctionCall binds arguments by
+    NAME, our nodes call positionally — this picklable callable maps
+    arg_0..arg_{n-1} plus keyword names back onto the wrapped function,
+    so an emitted node executes identically on any engine that can
+    unpickle callables."""
+
+    def __init__(self, fn: Callable, n_args: int, kw_names: list[str]):
+        self.fn = fn
+        self.n_args = n_args
+        self.kw_names = list(kw_names)
+
+    def __call__(self, **named: Any) -> Any:
+        args = [named[f"arg_{i}"] for i in range(self.n_args)]
+        return self.fn(*args, **{k: named[k] for k in self.kw_names})
+
+
+def _decode_pargraph_const(c: dict) -> Any:
+    raw = base64.b64decode(c["value"].encode("ascii"))
+    if c["type"] == "cloudpickle":
+        return cloudpickle.loads(raw)
+    if c["type"] == "msgpack":
+        try:
+            import msgpack
+        except ImportError:
+            raise ValueError(
+                "graph const is msgpack-encoded but msgpack is not installed"
+            )
+        return msgpack.unpackb(raw)
+    raise ValueError(f"unknown const codec {c['type']!r}")
+
+
+def _validate_pargraph_doc(doc: dict) -> None:
+    """Structural validation mirroring the reference's JSON-Schema checks
+    (objects.py:36-101): section key patterns, edge src/dst key shapes,
+    output references."""
+    for section in ("consts", "inputs", "nodes", "outputs"):
+        for k in doc.get(section, {}):
+            if not _PG_KEY_RE.match(k):
+                raise ValueError(f"invalid {section} key {k!r}")
+    for src, dst in doc.get("edges", []):
+        if not _PG_SRC_RE.match(src):
+            raise ValueError(f"invalid edge source {src!r}")
+        if not _PG_DST_RE.match(dst):
+            raise ValueError(f"invalid edge destination {dst!r}")
+    for k, v in doc.get("outputs", {}).items():
+        if not _PG_SRC_RE.match(v):
+            raise ValueError(f"invalid output reference {v!r}")
+
+
 class TaskGraph:
     """A set of root Delayed nodes with a portable JSON form.
 
@@ -700,6 +761,158 @@ class TaskGraph:
             kwargs = {k: dec_val(v) for k, v in nd["kwargs"].items()}
             built[nd["id"]] = Delayed(fn, args, kwargs, name=nd["name"])
         return cls([built[i] for i in doc["roots"]])
+
+    # ---- pargraph wire-format interop (reference objects.py:36-101,
+    # 358-498): the JSON-Schema-validated consts/inputs/nodes/edges/
+    # outputs layout, so artifacts serialized by a pargraph deployment
+    # load here and vice versa. ------------------------------------------
+
+    def to_pargraph_json(self) -> str:
+        """Serialize in the reference's edge-list wire format:
+
+        - ``consts``: {key: {"type", "value"}} — b64 cloudpickle (msgpack
+          is the reference's preferred codec but is optional kit; the
+          format explicitly carries the codec per const, and cloudpickle
+          is always legal).
+        - ``inputs``: {key: null} for external_input placeholders.
+        - ``nodes``: {key: {"function": b64, "serialized": true}} — each
+          of our nodes ships as a FunctionCall whose callable adapts the
+          wire format's NAMED argument binding back to our positional
+          call (the adapter is itself just a pickled callable, so a
+          reference engine can execute it too).
+        - ``edges``: [[src, "nodes:<k>:inputs:<param>"], ...] with src ∈
+          consts:/inputs:/nodes:<k>:outputs:result.
+        - ``outputs``: {"result_<i>": src} — one per root.
+
+        Node keys follow the deterministic post-order walk (n0, n1, ...),
+        so identical graphs serialize identically (the reference's
+        `stabilize` guarantee). Delayed nodes nested inside container
+        arguments are NOT representable in this format (it has no
+        structural containers) and raise; use to_json for those."""
+        order = _walk(self.roots)
+        node_ids: dict[int, str] = {}
+        doc: dict[str, Any] = {
+            "consts": {}, "inputs": {}, "nodes": {}, "edges": [], "outputs": {},
+        }
+
+        def src_key(dep: Any) -> str:
+            if isinstance(dep, Delayed):
+                if dep.fn is _unbound_input:
+                    return f"inputs:{dep.kwargs['key']}"
+                return f"nodes:{node_ids[id(dep)]}:outputs:result"
+            if any(True for _ in _iter_deps(dep)):
+                raise ValueError(
+                    "pargraph wire format cannot represent a Delayed nested "
+                    "inside a container argument; use to_json instead"
+                )
+            ckey = f"c{len(doc['consts'])}"
+            doc["consts"][ckey] = {
+                "type": "cloudpickle",
+                "value": base64.b64encode(cloudpickle.dumps(dep)).decode("ascii"),
+            }
+            return f"consts:{ckey}"
+
+        for i, n in enumerate(order):
+            if n.fn is _unbound_input:
+                doc["inputs"][n.kwargs["key"]] = None
+                continue
+            nid = f"n{i}"
+            node_ids[id(n)] = nid
+            kw_names = sorted(n.kwargs)
+            adapter = _NamedArgsAdapter(n.fn, len(n.args), kw_names)
+            doc["nodes"][nid] = {
+                "function": base64.b64encode(cloudpickle.dumps(adapter)).decode("ascii"),
+                "serialized": True,
+            }
+            for j, a in enumerate(n.args):
+                doc["edges"].append([src_key(a), f"nodes:{nid}:inputs:arg_{j}"])
+            for k in kw_names:
+                doc["edges"].append([src_key(n.kwargs[k]), f"nodes:{nid}:inputs:{k}"])
+        for i, r in enumerate(self.roots):
+            doc["outputs"][f"result_{i}"] = src_key(r)
+        _validate_pargraph_doc(doc)
+        return json.dumps(doc)
+
+    @classmethod
+    def from_pargraph_json(cls, s: str) -> "TaskGraph":
+        """Load a graph serialized in the reference wire format — either
+        the edge-list layout (objects.py:372-428) or the node-arguments
+        layout (objects.py:431-457; node dicts carry an ``args`` map
+        instead of a top-level edge list). Functions marked
+        ``serialized`` are unpickled; plain-string functions are imported
+        by dotted path. Bound inputs (``inputs:{k: "consts:c"}``)
+        resolve to their const's value; unbound inputs become
+        external_input placeholders, bound at compute(inputs=...)."""
+        doc = json.loads(s)
+        consts = {
+            k: _decode_pargraph_const(v) for k, v in doc.get("consts", {}).items()
+        }
+        node_args: dict[str, dict[str, str]] = {
+            k: dict(nd.get("args", {})) for k, nd in doc.get("nodes", {}).items()
+        }
+        for src, dst in doc.get("edges", []):
+            parts = dst.split(":")
+            if len(parts) != 4 or parts[0] != "nodes" or parts[2] != "inputs":
+                raise ValueError(f"invalid edge destination {dst!r}")
+            _, nid, _, param = parts
+            if nid not in node_args:
+                raise KeyError(f"edge destination names unknown node {nid!r}")
+            if param in node_args[nid]:
+                raise ValueError(f"parameter {param!r} of node {nid!r} bound twice")
+            node_args[nid][param] = src
+
+        input_nodes: dict[str, Delayed] = {}
+
+        def resolve_input(key: str):
+            bound = doc.get("inputs", {}).get(key)
+            if bound is not None:
+                return resolve_src(bound)
+            if key not in input_nodes:
+                input_nodes[key] = external_input(key)
+            return input_nodes[key]
+
+        built: dict[str, Delayed] = {}
+        building: set[str] = set()
+
+        def build_node(nid: str) -> Delayed:
+            if nid in built:
+                return built[nid]
+            if nid in building:
+                raise ValueError(f"cycle detected at node {nid!r}")
+            building.add(nid)
+            nd = doc["nodes"][nid]
+            fn_field = nd["function"]
+            if nd.get("serialized", False):
+                fn = cloudpickle.loads(base64.b64decode(fn_field.encode("ascii")))
+            else:
+                mod, _, attr = fn_field.rpartition(".")
+                if not mod:
+                    raise ValueError(
+                        f"node {nid!r} function {fn_field!r} is neither "
+                        "serialized nor an importable dotted path"
+                    )
+                fn = getattr(__import__(mod, fromlist=[attr]), attr)
+            kwargs = {p: resolve_src(srcs) for p, srcs in sorted(node_args[nid].items())}
+            building.discard(nid)
+            node = Delayed(fn, (), kwargs, name=nid)
+            built[nid] = node
+            return node
+
+        def resolve_src(key: str):
+            prefix, _, rest = key.partition(":")
+            if prefix == "consts":
+                return consts[rest]
+            if prefix == "inputs":
+                return resolve_input(rest)
+            if prefix == "nodes":
+                parts = key.split(":")
+                # edge-list form nodes:k:outputs:o, node-args form nodes:k:o
+                nid = parts[1]
+                return build_node(nid)
+            raise ValueError(f"invalid source key {key!r}")
+
+        roots = [resolve_src(v) for _, v in sorted(doc.get("outputs", {}).items())]
+        return cls(roots)
 
     # ---- user-invocable rewrites (reference objects.py:653-932) --------
     # The reference's four rewrites map onto this model as: cull and

@@ -243,3 +243,129 @@ def ktruss(
         if n_after == 0:
             break
     return TrussResult(kept, rounds, metrics)
+
+
+@dataclass
+class TrussNumbersResult:
+    trussness: DataFrame  # (a, b, truss) — max k such that the edge is in the k-truss
+    rounds: int
+    converged: bool
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("truss_numbers"))
+
+
+def truss_numbers(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 100,
+    num_partitions: int | None = None,
+) -> TrussNumbersResult:
+    """Full truss decomposition: every edge's truss number (the largest k
+    such that the edge survives in the k-truss) — the EDGE analogue of
+    core_numbers, answering all of `ktruss(k)` for every k in one job.
+
+    Algorithm: the h-index fixpoint on triangle supports (the edge-level
+    counterpart of the Lü et al. coreness H-iteration used by
+    core_numbers): initialize t0(e) = support(e); each round, an edge
+    looks at every triangle it belongs to, takes v = min of the OTHER
+    two edges' current estimates, and updates to the h-index of its v
+    multiset (largest h with ≥ h triangles of value ≥ h). Estimates are
+    pointwise non-increasing and converge to exactly trussness − 2 (the
+    peel-consistency argument mirrors the vertex case: a fixpoint value
+    t certifies ≥ t triangles whose supporting edges all certify ≥ t);
+    the pytest oracle cross-checks against a direct peel mirror.
+    Triangle-less edges have trussness 2 by convention (every edge is in
+    the 2-truss).
+
+    Plan shape per round (single static triangle table, never
+    re-enumerated): triangles are melted ONCE into (triple, edge) rows
+    persisted partitioned on the edge key, so the per-round estimate
+    join probes in place; the per-triangle gather exchanges 3-row groups
+    keyed by the triple; the h-index uses core_numbers' two-level
+    histogram — neighbor values CLAMP at the edge's own estimate before
+    the (edge, value) combine, so the per-edge window runs over at most
+    t(e)+1 rows, bounded by trussness, never by triangle count (a
+    10^5-triangle edge contributes its triangles only to the map-side
+    combine). Convergence detection = changed-estimate count; rounds
+    counts only rounds that changed something. core_numbers' delta-round
+    tail accelerator would port here verbatim if a long-tail graph needs
+    it.
+    """
+    from pyspark.sql import Window
+
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    und = canonical_undirected(edges)
+    tri = triangle_triples(und.select(F.col("a").alias("src"),
+                                      F.col("b").alias("dst")))
+    t3 = tri.select(F.array_sort(F.array("s", "x", "y")).alias("t"))
+    melt = (
+        t3.select(
+            "t",
+            F.explode(
+                F.array(
+                    F.struct(F.col("t")[0].alias("a"), F.col("t")[1].alias("b")),
+                    F.struct(F.col("t")[0].alias("a"), F.col("t")[2].alias("b")),
+                    F.struct(F.col("t")[1].alias("a"), F.col("t")[2].alias("b")),
+                )
+            ).alias("e"),
+        )
+        .select("t", F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .repartition(P, "a", "b")
+        .persist()
+    )
+    melt.count()
+    est = (
+        melt.groupBy("a", "b").agg(F.count("*").cast("long").alias("c"))
+        .repartition(P, "a", "b")
+        .localCheckpoint(eager=True)
+    )
+    metrics = JobMetrics("truss_numbers")
+    w = Window.partitionBy("a", "b").orderBy(F.col("x").desc())
+    rounds = 0
+    converged = False
+    for r in range(1, max_rounds + 1):
+        t0 = time.monotonic()
+        j = melt.join(est, ["a", "b"])  # co-partitioned: no melt exchange
+        g = j.groupBy("t").agg(
+            F.array_sort(F.collect_list(F.struct("a", "b", "c"))).alias("es")
+        )
+        vals = None
+        for i in range(3):
+            o1, o2 = [x for x in range(3) if x != i]
+            part = g.select(
+                F.col("es")[i]["a"].alias("a"),
+                F.col("es")[i]["b"].alias("b"),
+                F.least(F.col("es")[o1]["c"], F.col("es")[o2]["c"]).alias("v"),
+            )
+            vals = part if vals is None else vals.unionByName(part)
+        hist = (
+            vals.join(est, ["a", "b"])
+            .select("a", "b", F.least("v", "c").alias("x"))
+            .groupBy("a", "b", "x")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_est = (
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("a", "b")
+            .agg(F.max(F.least(F.col("cum"), F.col("x"))).cast("long").alias("c"))
+            .repartition(P, "a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_est.join(est.select("a", "b", F.col("c").alias("_old")), ["a", "b"])
+            .where(F.col("c") != F.col("_old"))
+            .count()
+        )
+        est.unpersist()
+        est = new_est
+        metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
+                                    0, float(n_changed)))
+        if n_changed == 0:
+            converged = True
+            break
+        rounds = r
+    out = (
+        und.join(est, ["a", "b"], "left")
+        .select("a", "b", (F.coalesce(F.col("c"), F.lit(0)) + F.lit(2)).alias("truss"))
+    )
+    melt.unpersist()
+    return TrussNumbersResult(out, rounds, converged, metrics)

@@ -141,3 +141,58 @@ def test_ktruss_cascade_rounds_metric(spark):
     assert {(r["a"], r["b"]): r["support"] for r in res.edges.collect()} == \
         _py_ktruss(edges, 4)
     assert res.rounds == 9, res.rounds
+
+
+def _py_trussness(edges):
+    """Direct truss decomposition by repeated peel: truss(e) = largest k
+    with e in the k-truss. Every edge is in the 2-truss by convention."""
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    truss = {e: 2 for e in und}
+    k = 3
+    cur = set(und)
+    while cur:
+        # peel to the k-truss
+        while True:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {e for e in cur if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        for e in cur:
+            truss[e] = k
+        k += 1
+    return truss
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_truss_numbers_match_peel_mirror(spark, seed):
+    # h-index fixpoint on triangle supports == direct peel trussness
+    from pargraph_spark.operators.triangles import truss_numbers
+
+    rng = random.Random(seed)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(22), rng.randrange(22)) for _ in range(130)}
+             if s != d]
+    res = truss_numbers(spark, spark.createDataFrame(edges, "src long, dst long"),
+                        num_partitions=4)
+    assert res.converged
+    got = {(r["a"], r["b"]): r["truss"] for r in res.trussness.collect()}
+    assert got == _py_trussness(edges)
+
+
+def test_truss_numbers_clique_plus_tail(spark):
+    # K5 edges have trussness 5; the pendant tail edge has trussness 2
+    from itertools import combinations
+
+    from pargraph_spark.operators.triangles import truss_numbers
+
+    edges = list(combinations(range(5), 2)) + [(4, 99)]
+    res = truss_numbers(spark, spark.createDataFrame(edges, "src long, dst long"),
+                        num_partitions=4)
+    got = {(r["a"], r["b"]): r["truss"] for r in res.trussness.collect()}
+    for a, b in combinations(range(5), 2):
+        assert got[(a, b)] == 5
+    assert got[(4, 99)] == 2

@@ -26,6 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pargraph_spark")
     ap.add_argument("job", choices=["pagerank", "components", "labels",
                                     "triangles", "kcore", "corenums",
+                                    "truss", "trussnums",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -108,6 +109,21 @@ def main(argv: list[str] | None = None) -> int:
         cn = core_numbers(spark, graph.edges, num_partitions=args.partitions)
         cn.cores.write.mode("overwrite").parquet(f"{args.output}/core_numbers.parquet")
         summary["corenums"] = {"rounds": cn.rounds, "converged": cn.converged}
+    if args.job == "truss":
+        from pargraph_spark.operators.triangles import ktruss
+
+        tr = ktruss(spark, graph.edges, max(args.k, 3),
+                    num_partitions=args.partitions)
+        tr.edges.write.mode("overwrite").parquet(f"{args.output}/ktruss.parquet")
+        summary["truss"] = {"k": max(args.k, 3), "rounds": tr.rounds,
+                            "n_edges": tr.edges.count()}
+    if args.job == "trussnums":
+        from pargraph_spark.operators.triangles import truss_numbers
+
+        tn = truss_numbers(spark, graph.edges, num_partitions=args.partitions)
+        tn.trussness.write.mode("overwrite").parquet(
+            f"{args.output}/truss_numbers.parquet")
+        summary["trussnums"] = {"rounds": tn.rounds, "converged": tn.converged}
     if args.job == "reach":
         from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
 

@@ -108,3 +108,24 @@ def test_cli_corenums_reach_stats_jobs(tmp_path):
     assert os.path.isdir(str(tmp_path / "corenums" / "core_numbers.parquet"))
     assert os.path.isdir(str(tmp_path / "reach" / "reach.parquet"))
     assert os.path.isdir(str(tmp_path / "stats" / "knn_profile.parquet"))
+
+
+def test_cli_truss_jobs(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    for job, extra in (("truss", ["--k", "3"]), ("trussnums", [])):
+        out = str(tmp_path / job)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pargraph_spark.cli", job,
+             "--synth-pages", "300", "--output", out,
+             "--cores", "2", "--partitions", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert job in summary, summary
+    assert os.path.isdir(str(tmp_path / "truss" / "ktruss.parquet"))
+    assert os.path.isdir(str(tmp_path / "trussnums" / "truss_numbers.parquet"))

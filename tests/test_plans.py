@@ -271,3 +271,15 @@ def test_hits_halfsteps_probe_copartitioned_edges(spark):
         assert plan.count("HashAggregate") >= 2, plan
     e_src.unpersist()
     e_dst.unpersist()
+
+
+def test_tfidf_cosine_cap_is_broadcast_anti_join(spark):
+    # the hot-term cap must broadcast (tiny hot set) and the dot-product
+    # aggregate must partial-combine map-side
+    from pargraph_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_cosine_pairs(docs, "doc_id", "text",
+                                    threshold=0.2, max_postings=50))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

@@ -167,3 +167,101 @@ def neighborhood_function(reach: DataFrame) -> DataFrame:
         F.count("*").alias("n_vertices"),
         F.sum("est").alias("n_reachable_pairs_est"),
     )
+
+
+# ---- HyperBall tier: HLL registers (Boldi & Vigna 2011) -------------------
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_reach(
+    spark: SparkSession,
+    edges: DataFrame,
+    hops: int,
+    b: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, est): HyperBall proper — per-vertex |ball(id, hops)| estimates
+    with HyperLogLog registers instead of kmv_reach's k-min values.
+
+    Tier relationship (both are the HyperANF sketch-propagation loop):
+    kmv_reach is the ORACLED tier — md5 k-min sketches are a pure
+    function of the reachable set, so the driver gate hash-checks it
+    exactly; this HLL tier is the MEMORY tier — state is exactly
+    m = 2^b registers (≤ 6 bits each) per vertex regardless of ball
+    size, merge is an elementwise max (associative + idempotent, so
+    partial aggregation is lossless), and relative s.d. ≈ 1.04/√m
+    (b=6 → ~13%). Estimates are engine-deterministic (md5 bucketing,
+    integer bit-length ranks, fixed-shape float chain) but carry the
+    usual HLL bias, so correctness is tolerance-gated in pytest against
+    exact BFS ball sizes, deliberately not a value-oracle query.
+
+    Plan shape per hop: registers ride as m integer COLUMNS (not an
+    array), so the merge is a groupBy(v) of m max() aggregates — fully
+    partial-combined map-side, meaning a 10^8-degree hub reduces to one
+    m-register row per map task before the exchange; no explode, no
+    UDF, no per-row Python. The symmetric edge table is persisted
+    partitioned on the probe key and reused every hop.
+    """
+    if hops < 0 or not (2 <= b <= 12):
+        raise ValueError(f"need hops >= 0 and 2 <= b <= 12, got {hops=}, {b=}")
+    m = 1 << b
+    rem_bits = _HEX_BITS - b
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    regs_cols = [f"r{i}" for i in range(m)]
+
+    sym = symmetrize(edges).repartition(P, "u").persist()
+    sym.count()
+    verts = sym.select(F.col("u").alias("v")).distinct()
+    h = F.conv(_h15(F.col("v")), 16, 10).cast("bigint")
+    bucket = F.shiftright(h, rem_bits)
+    rem = h - F.shiftleft(bucket, rem_bits)
+    # rank = leading zeros in the remaining bits + 1, via integer
+    # bit-length (length of the binary string; bin(0) = "0" needs the
+    # explicit branch) — no float log anywhere
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    )
+    regs = verts.select(
+        "v",
+        *[
+            F.when(bucket == i, rank).otherwise(F.lit(0)).cast("int").alias(c)
+            for i, c in enumerate(regs_cols)
+        ],
+    ).repartition(P, "v").localCheckpoint(eager=True)
+    for _ in range(hops):
+        msgs = sym.join(regs.withColumnRenamed("v", "u"), "u").select(
+            "v", *regs_cols
+        )
+        merged = (
+            regs.unionByName(msgs)
+            .groupBy("v")
+            .agg(*[F.max(c).alias(c) for c in regs_cols])
+            .repartition(P, "v")
+        )
+        old = regs
+        regs = merged.localCheckpoint(eager=True)
+        old.unpersist()
+    sym.unpersist()
+    alpha = _hll_alpha(m)
+    inv_sum = sum(
+        (F.pow(F.lit(2.0), -F.col(c)) for c in regs_cols[1:]),
+        F.pow(F.lit(2.0), -F.col(regs_cols[0])),
+    )
+    zeros = sum(
+        (F.when(F.col(c) == 0, 1).otherwise(0) for c in regs_cols[1:]),
+        F.when(F.col(regs_cols[0]) == 0, 1).otherwise(0),
+    )
+    raw = F.lit(alpha * m * m) / inv_sum
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return regs.select(F.col("v").alias("id"), est.alias("est"))

@@ -164,3 +164,54 @@ def test_harmonic_centrality_star_center_highest(spark):
     assert got[0] == 8.0
     for v in range(1, 9):
         assert got[v] == 4.5
+
+
+def test_hll_reach_tolerance_vs_exact_balls(spark):
+    # HyperBall HLL tier: per-vertex 2-hop ball estimates within the
+    # standard HLL error envelope of exact BFS ball sizes (b=6 -> ~13%
+    # relative s.d.; gate on median/mean, loose on the max)
+    import statistics
+
+    from pargraph_spark.operators.reach import hll_reach
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(s, d) for s, d in
+             {(rng.randrange(n), rng.randrange(n)) for _ in range(900)}
+             if s != d]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exact = {}
+    for v in adj:
+        ball = {v}
+        frontier = {v}
+        for _ in range(2):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - ball
+            ball |= frontier
+        exact[v] = len(ball)
+
+    got = {
+        r["id"]: r["est"]
+        for r in hll_reach(spark,
+                           spark.createDataFrame(edges, "src long, dst long"),
+                           hops=2, b=6, num_partitions=4).collect()
+    }
+    assert set(got) == set(exact)
+    rel = [abs(got[v] - exact[v]) / exact[v] for v in exact]
+    assert statistics.median(rel) < 0.15, statistics.median(rel)
+    assert statistics.fmean(rel) < 0.2, statistics.fmean(rel)
+    assert max(rel) < 0.6, max(rel)
+
+
+def test_hll_reach_hop0_small_range(spark):
+    # at 0 hops every ball is {v}: the small-range (linear counting)
+    # branch must return ~1 for every vertex
+    from pargraph_spark.operators.reach import hll_reach
+
+    edges = [(i, i + 1) for i in range(20)]
+    out = hll_reach(spark, spark.createDataFrame(edges, "src long, dst long"),
+                    hops=0, b=4, num_partitions=4).collect()
+    for r in out:
+        assert 0.5 < r["est"] < 2.0, r

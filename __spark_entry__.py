@@ -56,6 +56,10 @@ from pargraph_spark.operators.dedup import (
 from pargraph_spark.operators.labelprop import label_propagation
 from pargraph_spark.operators.multimodal import extract_binary_features, to_media_table
 from pargraph_spark.operators.pagerank import pagerank
+from pargraph_spark.operators.scc import (
+    bowtie_classify,
+    strongly_connected_components,
+)
 from pargraph_spark.operators.similarity import (
     cosine_near_dup_bucketed,
     cosine_topk,
@@ -85,6 +89,22 @@ def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _di_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DIRECTED link graph for SCC/bowtie/Katz: each
+    co-occurrence pair (src < dst) is oriented by integer hash rules —
+    ~60% get src→dst, ~40% get dst→src, both tests independent so ~24%
+    of pairs yield 2-cycles. This re-creates the cyclic structure of a
+    real web link graph (the base co-occurrence table is src<dst, i.e. a
+    DAG, on which SCC would be all singletons). Pure integer arithmetic
+    so the DuckDB oracle reproduces the orientation exactly."""
+    e = _co_edges(spark, sf_dir)
+    fwd = e.where((F.col("src") * 7 + F.col("dst") * 13) % 5 < 3)
+    bwd = e.where((F.col("src") * 11 + F.col("dst") * 3) % 5 < 2).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.unionByName(bwd)
+
+
 # shared SQL prelude mirroring _co_edges (DuckDB)
 E_SQL = (
     "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
@@ -92,6 +112,24 @@ E_SQL = (
     "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
 )
 SYM_SQL = "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e)"
+# directed orientation mirroring _di_edges (DuckDB); endpoints of de define
+# the directed vertex universe (a pair failing both orientation rules drops)
+DI_SQL = (
+    "de AS MATERIALIZED (SELECT src, dst FROM e WHERE (src*7 + dst*13) % 5 < 3 "
+    "UNION ALL SELECT dst, src FROM e WHERE (src*11 + dst*3) % 5 < 2)"
+)
+DIVERTS_SQL = "dv AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)"
+# recursive-CTE-safe variants (plain CTEs, trailing comma) for the
+# WITH RECURSIVE closures (scc / bowtie)
+_EB_SQL = (
+    "eb AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey),"
+)
+_DE_SQL = (
+    "de AS (SELECT src, dst FROM eb WHERE (src*7 + dst*13) % 5 < 3 "
+    "UNION ALL SELECT dst, src FROM eb WHERE (src*11 + dst*3) % 5 < 2),"
+)
 VERTS_SQL = "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)"
 
 # shared SQL prelude mirroring functions.text normalization (DuckDB)
@@ -465,6 +503,16 @@ def _q_cc_full(spark, sf):
     return connected_components(spark, _co_edges(spark, sf)).components
 
 
+def _q_scc(spark, sf):
+    # directed fixture: SCC label = min member id, deterministic, so the
+    # mutual-reachability recursive-CTE closure oracle is exact
+    return strongly_connected_components(spark, _di_edges(spark, sf)).components
+
+
+def _q_bowtie(spark, sf):
+    return bowtie_classify(spark, _di_edges(spark, sf))
+
+
 def _q_lpa_full(spark, sf):
     return label_propagation(spark, _co_edges(spark, sf), max_iter=20).labels
 
@@ -707,9 +755,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-checked every round (VERDICT r4 #2) — consolidate or rotate
     # near-duplicate depth/cap variants before adding new entries.
     return {
+        # r5 consolidation (slot budget): the capped `connected_components`
+        # fell to cc_full+cc_incremental, `kcore` to core_numbers+score_core
+        # — the dropped variants keep pytest coverage; slots went to scc and
+        # bowtie, the directed-connectivity tier.
         "edge_build": _q_edge_build,
         "degrees": _q_degrees,
-        "connected_components": _q_connected_components,
+        "scc": _q_scc,
         "cc_incremental": _q_cc_incremental,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "clustering_coefficient": _q_clustering_coefficient,
@@ -720,7 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "bfs_4hops": _q_bfs_4hops,
         "sssp_4rounds": _q_sssp_4rounds,
-        "kcore": _q_kcore,
+        "bowtie": _q_bowtie,
         "core_numbers": _q_core_numbers,
         "neighbor_sample_2hop": _q_neighbor_sample,
         "degree_assortativity": _q_degree_assortativity,
@@ -1728,16 +1780,20 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {E_SQL} SELECT id, count(*) AS degree FROM "
             "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id"
         ),
-        "connected_components": (
+        # scc: label = min member id == min over the mutual-reachability
+        # closure — exact vs the coloring/backward-sweep fixpoint
+        "scc": (
             "WITH RECURSIVE "
-            "eb AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
-            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-            f"AND a.l_partkey < b.l_partkey "
-            f"WHERE a.l_partkey < {CC_CAP} AND b.l_partkey < {CC_CAP}), "
-            "sym AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb), "
-            "reach(v, r) AS (SELECT u, u FROM sym UNION "
-            "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.v) "
-            "SELECT v AS id, min(r) AS component FROM reach GROUP BY v"
+            f"{_EB_SQL} "
+            f"{_DE_SQL} "
+            "reach(a, b) AS (SELECT src, dst FROM de UNION "
+            "SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b), "
+            "rm AS MATERIALIZED (SELECT a, b FROM reach), "
+            "mut AS (SELECT r1.a AS v, min(r1.b) AS mn FROM rm r1 "
+            "JOIN rm r2 ON r1.a = r2.b AND r1.b = r2.a GROUP BY r1.a), "
+            "dvv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM de UNION ALL SELECT dst FROM de)) "
+            "SELECT dvv.id AS id, least(dvv.id, coalesce(mut.mn, dvv.id)) AS scc "
+            "FROM dvv LEFT JOIN mut ON mut.v = dvv.id"
         ),
         # warm == cold by construction: the incremental run must reproduce
         # the full-graph fixpoint, so the oracle is the identical
@@ -1778,7 +1834,38 @@ def oracle_sql() -> dict[str, str]:
         "ppr_5iter": _ppr_sql(5),
         "wpagerank_5iter": _wpagerank_sql(5),
         "sssp_4rounds": _sssp_sql(4),
-        "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        # bowtie: Broder regions from the same reachability closure; fwd_in /
+        # bwd_out seed from the STRICT IN/OUT sets, matching bowtie_classify
+        "bowtie": (
+            "WITH RECURSIVE "
+            f"{_EB_SQL} "
+            f"{_DE_SQL} "
+            "reach(a, b) AS (SELECT src, dst FROM de UNION "
+            "SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b), "
+            "rm AS MATERIALIZED (SELECT a, b FROM reach), "
+            "mut AS (SELECT r1.a AS v, min(r1.b) AS mn FROM rm r1 "
+            "JOIN rm r2 ON r1.a = r2.b AND r1.b = r2.a GROUP BY r1.a), "
+            "dvv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM de UNION ALL SELECT dst FROM de)), "
+            "s AS (SELECT dvv.id AS id, least(dvv.id, coalesce(mut.mn, dvv.id)) AS scc "
+            "FROM dvv LEFT JOIN mut ON mut.v = dvv.id), "
+            "core AS (SELECT id FROM s WHERE scc = (SELECT scc FROM "
+            "(SELECT scc, count(*) AS c FROM s GROUP BY scc) ORDER BY c DESC, scc LIMIT 1)), "
+            "inr AS (SELECT DISTINCT r.a AS id FROM rm r "
+            "WHERE r.b IN (SELECT id FROM core) AND r.a NOT IN (SELECT id FROM core)), "
+            "outr AS (SELECT DISTINCT r.b AS id FROM rm r "
+            "WHERE r.a IN (SELECT id FROM core) AND r.b NOT IN (SELECT id FROM core)), "
+            "fwd_in AS (SELECT DISTINCT r.b AS id FROM rm r "
+            "WHERE r.a IN (SELECT id FROM inr)), "
+            "bwd_out AS (SELECT DISTINCT r.a AS id FROM rm r "
+            "WHERE r.b IN (SELECT id FROM outr)) "
+            "SELECT s.id AS id, CASE "
+            "WHEN s.id IN (SELECT id FROM core) THEN 'CORE' "
+            "WHEN s.id IN (SELECT id FROM inr) THEN 'IN' "
+            "WHEN s.id IN (SELECT id FROM outr) THEN 'OUT' "
+            "WHEN s.id IN (SELECT id FROM fwd_in) AND s.id IN (SELECT id FROM bwd_out) THEN 'TUBES' "
+            "WHEN s.id IN (SELECT id FROM fwd_in) OR s.id IN (SELECT id FROM bwd_out) THEN 'TENDRILS' "
+            "ELSE 'DISCONNECTED' END AS region FROM s"
+        ),
         "core_numbers": _core_numbers_sql(CORE_ROUNDS),
         "neighbor_sample_2hop": _neighbor_sample_sql(NS_SEED_MOD, NS_FANOUTS),
         "degree_assortativity": _assortativity_sql(),

@@ -1,0 +1,357 @@
+"""Strongly connected components + bowtie decomposition (directed web graphs).
+
+SCC is THE structural primitive for directed link graphs: Broder et al.'s
+"Graph structure in the Web" (WWW'00) showed the crawlable web is a bowtie —
+one giant SCC (the CORE), an IN set that reaches it, an OUT set it reaches,
+plus TUBES/TENDRILS/DISCONNECTED. The reference's task-graph engine has no
+graph-analytic operators at all (pargraph/engine/engine.py schedules DAGs of
+user functions); this operator extends the engine's iterative-DataFrame
+family (pagerank/components/labelprop) to the directed-connectivity tier.
+
+Algorithm — the MultiStep/coloring scheme (Slota, Rajamanickam, Madduri,
+IPDPS'14; also Orzan's OBF), re-expressed as DataFrame fixpoints:
+
+  outer round:
+    1. TRIM to fixpoint: a vertex with in-degree 0 or out-degree 0 in the
+       active subgraph is a singleton SCC — assign and drop. Trimming
+       removes tendril chains cheaply (shrinking-set shuffles) before any
+       coloring work.
+    2. FORWARD COLORING to fixpoint: color(v) = min id that reaches v,
+       via min-label propagation along edge direction (the directed
+       analogue of components.py's min propagation). Roots are vertices
+       with color(v) == v.
+    3. BACKWARD SWEEP to fixpoint: from each root r, propagate membership
+       backward along edges, constrained to vertices with color == r.
+       The reached set is EXACTLY SCC(r): color(v)==r means r reaches v,
+       and the constrained backward path means v reaches r; conversely
+       every member of SCC(r) has color r (a smaller-id reacher of any
+       member would reach r itself, contradicting color(r)==r). The SCC
+       id is r = the minimum member id — deterministic, so the mutual-
+       reachability closure oracle (recursive CTE) is exact.
+    4. Extract members, shrink the active vertex/edge set, repeat.
+
+Every outer round extracts at least the SCC of the minimum active vertex
+(always a root), and on web graphs the first coloring round captures the
+giant SCC, so outer rounds are few (trim handles the chain-shaped tail
+that would otherwise force one round per chain SCC).
+
+Plan shape (the engine's iterative discipline): the active edge set is
+persisted TWICE per outer round — partitioned by src (forward coloring
+probes it in place) and by dst (backward sweep probes it in place) — the
+hits/salsa dual-copy rule, so no inner iteration ever exchanges the
+E-scale relation; only V-scale label/frontier tables shuffle. Inner loops
+localCheckpoint their V-scale state each round (lineage truncation, the
+ref-count-release analogue of /root/reference/pargraph/engine/
+engine.py:63-76). Hub skew on the min-aggregates is absorbed map-side
+(partial min/first combine) + AQE.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+
+
+@dataclass
+class SCCResult:
+    components: DataFrame  # (id: long, scc: long) — scc = min member id
+    outer_rounds: int
+    converged: bool
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("scc"))
+
+
+def _dedup_edges(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_outer: int = 50,
+    max_inner: int = 500,
+    num_partitions: int | None = None,
+) -> SCCResult:
+    """edges(src, dst) directed [+ optional vertices(id)] → (id, scc).
+
+    scc = the minimum vertex id in the component, so output is unique for
+    a given graph regardless of execution order.
+    """
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    metrics = JobMetrics("scc")
+
+    e0 = _dedup_edges(edges)
+    verts = (
+        vertices.select(F.col("id").cast("long"))
+        if vertices is not None
+        else e0.select(F.col("src").alias("id")).unionByName(
+            e0.select(F.col("dst").alias("id"))
+        )
+    ).distinct().repartition(P, "id").localCheckpoint(eager=True)
+
+    active_e = e0.repartition(P, "src").localCheckpoint(eager=True)
+    assigned: list[DataFrame] = []
+    converged = False
+    outer = 0
+
+    while outer < max_outer:
+        outer += 1
+        t0 = time.monotonic()
+
+        # ---- 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
+        while True:
+            has_out = active_e.select(F.col("src").alias("id")).distinct()
+            has_in = active_e.select(F.col("dst").alias("id")).distinct()
+            keep = (
+                verts.join(has_out, "id", "left_semi")
+                .join(has_in, "id", "left_semi")
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            n_keep = keep.count()
+            trimmed = verts.join(keep, "id", "left_anti")
+            n_trim = trimmed.count()
+            if n_trim == 0:
+                verts = keep
+                break
+            assigned.append(
+                trimmed.select("id", F.col("id").alias("scc")).localCheckpoint(
+                    eager=True
+                )
+            )
+            verts = keep
+            if n_keep == 0:
+                break
+            active_e = (
+                active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .repartition(P, "src")
+                .localCheckpoint(eager=True)
+            )
+
+        n_active = verts.count()
+        if n_active == 0:
+            converged = True
+            break
+
+        # ---- dual persisted copies: forward probes e_src, backward probes e_dst
+        e_src = active_e  # already repartitioned on src by the trim loop
+        e_dst = active_e.repartition(P, "dst").persist()
+        e_dst.count()
+
+        # ---- 2. forward min-label coloring to fixpoint
+        colors = verts.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            msgs = (
+                e_src.join(
+                    colors.select(F.col("id").alias("src"), "color"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("_mc"))
+            )
+            new_colors = (
+                colors.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce("_mc", "color")).alias("color"),
+                    (F.coalesce("_mc", "color") < F.col("color")).alias("_chg"),
+                )
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            changed = new_colors.agg(
+                F.sum(F.col("_chg").cast("long")).alias("c")
+            ).first()["c"]
+            colors = new_colors.drop("_chg")
+            if not changed:
+                break
+
+        # ---- 3. constrained backward sweep from roots
+        state = colors.withColumn(
+            "in_scc", F.col("color") == F.col("id")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            cand = (
+                e_dst.join(
+                    state.where("in_scc").select(
+                        F.col("id").alias("dst"), F.col("color").alias("_c")
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("_cid"), "_c")
+                .distinct()
+            )
+            new_state = (
+                state.join(
+                    cand,
+                    (F.col("id") == F.col("_cid")) & (F.col("color") == F.col("_c")),
+                    "left",
+                )
+                .select(
+                    "id",
+                    "color",
+                    (F.col("in_scc") | F.col("_c").isNotNull()).alias("in_scc"),
+                    (~F.col("in_scc") & F.col("_c").isNotNull()).alias("_chg"),
+                )
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            changed = new_state.agg(
+                F.sum(F.col("_chg").cast("long")).alias("c")
+            ).first()["c"]
+            state = new_state.drop("_chg")
+            if not changed:
+                break
+
+        # ---- 4. extract the discovered SCCs, shrink the active graph
+        members = state.where("in_scc").select("id", F.col("color").alias("scc"))
+        assigned.append(members.localCheckpoint(eager=True))
+        verts = (
+            verts.join(members.select("id"), "id", "left_anti")
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        n_left = verts.count()
+        e_dst.unpersist()
+        metrics.supersteps.append(
+            SuperstepMetric(outer, (time.monotonic() - t0) * 1000.0, n_left, 0.0)
+        )
+        if n_left == 0:
+            converged = True
+            break
+        active_e = (
+            active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .repartition(P, "src")
+            .localCheckpoint(eager=True)
+        )
+
+    if assigned:
+        out = assigned[0]
+        for a in assigned[1:]:
+            out = out.unionByName(a)
+    else:
+        out = spark.createDataFrame([], "id long, scc long")
+    # any vertex never assigned (max_outer hit) keeps itself — report honestly
+    out = out.repartition(P, "id")
+    return SCCResult(out, outer, converged, metrics)
+
+
+# --------------------------------------------------------------------------
+# Bowtie decomposition (Broder et al., WWW'00)
+# --------------------------------------------------------------------------
+
+REGIONS = ("CORE", "IN", "OUT", "TUBES", "TENDRILS", "DISCONNECTED")
+
+
+def _closure_from(
+    seed: DataFrame,
+    e: DataFrame,
+    src_col: str,
+    dst_col: str,
+    P: int,
+    max_inner: int,
+) -> DataFrame:
+    """Vertices reachable from `seed` (exclusive) following (src_col →
+    dst_col) edges; frontier BFS with visited-set anti-joins. `e` must be
+    partitioned on src_col so the frontier join probes it in place."""
+    visited = seed.select("id").localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_inner):
+        nxt = (
+            e.join(frontier.select(F.col("id").alias(src_col)), src_col)
+            .select(F.col(dst_col).alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).repartition(P, "id").localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    return visited.join(seed.select("id"), "id", "left_anti")
+
+
+def bowtie_classify(
+    spark: SparkSession,
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    num_partitions: int | None = None,
+    max_inner: int = 500,
+) -> DataFrame:
+    """edges(src, dst) → (id, region) with region ∈ REGIONS.
+
+    CORE   = the largest SCC (ties → smallest scc id, so deterministic);
+    IN     = reaches CORE, not in it;
+    OUT    = reachable from CORE, not in it;
+    TUBES  = on an IN→OUT path avoiding CORE (for v ∉ CORE∪OUT,
+             reachable-from-IN already implies the path avoids CORE: any
+             path through CORE would put v in OUT);
+    TENDRILS = hangs off IN (forward) or into OUT (backward) but not both;
+    DISCONNECTED = everything else.
+
+    Four BFS closures over the same dual-partitioned persisted edge table;
+    each closure shuffles only V-scale frontier/visited sets.
+    """
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = _dedup_edges(edges)
+    if scc is None:
+        scc = strongly_connected_components(
+            spark, edges, num_partitions=P, max_inner=max_inner
+        ).components
+    scc = scc.persist()
+
+    sizes = scc.groupBy("scc").count()
+    core_row = sizes.orderBy(F.desc("count"), F.asc("scc")).first()
+    if core_row is None:
+        return spark.createDataFrame([], "id long, region string")
+    core_id = int(core_row["scc"])
+    core = scc.where(F.col("scc") == F.lit(core_id)).select("id").persist()
+
+    e_src = e0.repartition(P, "src").persist()
+    e_dst = e0.repartition(P, "dst").persist()
+    e_src.count()
+    e_dst.count()
+
+    out_set = _closure_from(core, e_src, "src", "dst", P, max_inner).persist()
+    in_set = _closure_from(core, e_dst, "dst", "src", P, max_inner).persist()
+
+    fwd_from_in = _closure_from(in_set, e_src, "src", "dst", P, max_inner)
+    bwd_from_out = _closure_from(out_set, e_dst, "dst", "src", P, max_inner)
+    known = core.unionByName(in_set).unionByName(out_set)
+    tubes = (
+        fwd_from_in.join(bwd_from_out, "id", "left_semi")
+        .join(known, "id", "left_anti")
+        .persist()
+    )
+    tendrils = (
+        fwd_from_in.unionByName(bwd_from_out)
+        .distinct()
+        .join(known, "id", "left_anti")
+        .join(tubes, "id", "left_anti")
+    )
+
+    verts = scc.select("id").distinct()
+    labeled = (
+        core.withColumn("region", F.lit("CORE"))
+        .unionByName(in_set.withColumn("region", F.lit("IN")))
+        .unionByName(out_set.withColumn("region", F.lit("OUT")))
+        .unionByName(tubes.withColumn("region", F.lit("TUBES")))
+        .unionByName(tendrils.withColumn("region", F.lit("TENDRILS")))
+    )
+    rest = verts.join(labeled.select("id"), "id", "left_anti").withColumn(
+        "region", F.lit("DISCONNECTED")
+    )
+    return labeled.unionByName(rest).repartition(P, "id")

@@ -112,3 +112,110 @@ def triangles_oracle(edges: list[tuple[int, int]]) -> tuple[int, dict[int, int]]
                 per[b] += 1
                 per[c] += 1
     return total, dict(per)
+
+
+def scc_oracle(edges: list[tuple[int, int]],
+               vertices: list[int]) -> dict[int, int]:
+    """Iterative Tarjan; SCC label = min member id."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    vs = sorted(set(vertices))
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = 0
+    for root in vs:
+        if root in index:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        onstack.add(root)
+        work = [(root, iter(adj[root]))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+def bowtie_oracle(edges: list[tuple[int, int]],
+                  vertices: list[int]) -> dict[int, str]:
+    """Broder bowtie regions; core = largest SCC (ties -> min scc id)."""
+    from collections import deque
+
+    scc = scc_oracle(edges, vertices)
+    sizes = Counter(scc.values())
+    core_id = min(sizes, key=lambda c: (-sizes[c], c))
+    core = {v for v, c in scc.items() if c == core_id}
+    fwd: dict[int, list[int]] = defaultdict(list)
+    bwd: dict[int, list[int]] = defaultdict(list)
+    for s, d in set(edges):
+        if s != d:
+            fwd[s].append(d)
+            bwd[d].append(s)
+
+    def closure(seed: set[int], adj: dict[int, list[int]]) -> set[int]:
+        seen = set(seed)
+        dq = deque(seed)
+        while dq:
+            v = dq.popleft()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    dq.append(w)
+        return seen - seed
+
+    out_set = closure(core, fwd)
+    in_set = closure(core, bwd)
+    fwd_from_in = closure(in_set, fwd) if in_set else set()
+    bwd_from_out = closure(out_set, bwd) if out_set else set()
+    known = core | in_set | out_set
+    tubes = (fwd_from_in & bwd_from_out) - known
+    tendrils = ((fwd_from_in | bwd_from_out) - known) - tubes
+    regions: dict[int, str] = {}
+    for v in sorted(set(vertices)):
+        if v in core:
+            regions[v] = "CORE"
+        elif v in in_set:
+            regions[v] = "IN"
+        elif v in out_set:
+            regions[v] = "OUT"
+        elif v in tubes:
+            regions[v] = "TUBES"
+        elif v in tendrils:
+            regions[v] = "TENDRILS"
+        else:
+            regions[v] = "DISCONNECTED"
+    return regions

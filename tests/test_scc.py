@@ -1,0 +1,108 @@
+"""SCC + bowtie vs the iterative-Tarjan / BFS-closure oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pargraph_spark.operators.scc import (
+    bowtie_classify,
+    strongly_connected_components,
+)
+from tests.oracles import bowtie_oracle, scc_oracle
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _random_digraph(seed: int, n: int, m: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            es.add((a, b))
+    return sorted(es)
+
+
+def _verts(edges):
+    return sorted({v for e in edges for v in e})
+
+
+def test_scc_handcrafted(spark):
+    # two 3-cycles bridged 3->4, a feeder 7->1, a sink 6->8
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (7, 1), (6, 8)]
+    res = strongly_connected_components(spark, _edges_df(spark, edges))
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == scc_oracle(edges, _verts(edges))
+    assert res.converged
+
+
+def test_scc_single_cycle_and_dag(spark):
+    # pure cycle: one SCC; pure DAG: all singletons (trim handles it all)
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    res = strongly_connected_components(spark, _edges_df(spark, cyc))
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == {i: 0 for i in range(6)}
+
+    dag = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    res = strongly_connected_components(spark, _edges_df(spark, dag))
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == {i: i for i in (1, 2, 3, 4)}
+    assert res.converged
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 40, 90), (11, 60, 200), (13, 50, 60)])
+def test_scc_random_vs_tarjan(spark, seed, n, m):
+    edges = _random_digraph(seed, n, m)
+    res = strongly_connected_components(spark, _edges_df(spark, edges))
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == scc_oracle(edges, _verts(edges))
+    assert res.converged
+
+
+def test_scc_explicit_isolated_vertices(spark):
+    edges = [(1, 2), (2, 1)]
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    res = strongly_connected_components(spark, _edges_df(spark, edges), verts)
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_bowtie_handcrafted(spark):
+    # core cycle {10,11,12}; IN chain 2->1->10; OUT chain 12->20->21;
+    # tube 1->30->20; tendril-off-IN 1->40; tendril-into-OUT 50->20;
+    # disconnected pair 60->61
+    edges = [(10, 11), (11, 12), (12, 10),
+             (2, 1), (1, 10),
+             (12, 20), (20, 21),
+             (1, 30), (30, 20),
+             (1, 40),
+             (50, 20),
+             (60, 61)]
+    expect = bowtie_oracle(edges, _verts(edges))
+    assert expect[30] == "TUBES" and expect[40] == "TENDRILS"
+    assert expect[50] == "TENDRILS" and expect[60] == "DISCONNECTED"
+    got = {r["id"]: r["region"] for r in
+           bowtie_classify(spark, _edges_df(spark, edges)).collect()}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed,n,m", [(3, 40, 70), (5, 50, 140)])
+def test_bowtie_random_vs_oracle(spark, seed, n, m):
+    edges = _random_digraph(seed, n, m)
+    got = {r["id"]: r["region"] for r in
+           bowtie_classify(spark, _edges_df(spark, edges)).collect()}
+    assert got == bowtie_oracle(edges, _verts(edges))
+
+
+def test_bowtie_accepts_precomputed_scc(spark):
+    edges = [(10, 11), (11, 12), (12, 10), (1, 10), (12, 20)]
+    scc = strongly_connected_components(spark, _edges_df(spark, edges))
+    got = {r["id"]: r["region"] for r in
+           bowtie_classify(spark, _edges_df(spark, edges),
+                           scc=scc.components).collect()}
+    assert got == bowtie_oracle(edges, _verts(edges))

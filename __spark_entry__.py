@@ -56,6 +56,9 @@ from pargraph_spark.operators.dedup import (
 from pargraph_spark.operators.labelprop import label_propagation
 from pargraph_spark.operators.multimodal import extract_binary_features, to_media_table
 from pargraph_spark.operators.pagerank import pagerank
+from pargraph_spark.operators.centrality import katz_centrality
+from pargraph_spark.operators.graphstats import modularity
+from pargraph_spark.operators.linkpred import common_neighbors_topk
 from pargraph_spark.operators.scc import (
     bowtie_classify,
     strongly_connected_components,
@@ -503,6 +506,30 @@ def _q_cc_full(spark, sf):
     return connected_components(spark, _co_edges(spark, sf)).components
 
 
+def _q_katz(spark, sf):
+    # truncated Katz over the directed fixture, α=1/20 exact-integer tier:
+    # bit-identical across engines, no rounding grid (7dp rounding of the
+    # float tier flipped at grid midpoints — 2/200 mismatches at sf0.001)
+    res = katz_centrality(spark, _di_edges(spark, sf), iters=5,
+                          exact_denominator=20)
+    return res.scores
+
+
+def _q_modularity(spark, sf):
+    e = _co_edges(spark, sf)
+    labs = label_propagation(spark, e, max_iter=20).labels
+    return modularity(e, labs)
+
+
+CN_K = 5
+CN_HOT_CAP = 64
+
+
+def _q_common_neighbors(spark, sf):
+    return common_neighbors_topk(_co_edges(spark, sf), k=CN_K,
+                                 hot_cap=CN_HOT_CAP)
+
+
 def _q_scc(spark, sf):
     # directed fixture: SCC label = min member id, deterministic, so the
     # mutual-reachability recursive-CTE closure oracle is exact
@@ -763,14 +790,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "scc": _q_scc,
         "cc_incremental": _q_cc_incremental,
-        "triangles_per_vertex": _q_triangles_per_vertex,
+        "katz_5iter": _q_katz,
         "clustering_coefficient": _q_clustering_coefficient,
         "pagerank_30iter": _q_pagerank_30iter,
         "ppr_5iter": _q_ppr_5iter,
         "wpagerank_5iter": _q_wpagerank_5iter,
         "hits_5iter": _q_hits_5iter,
         "graph_stats": _q_graph_stats,
-        "bfs_4hops": _q_bfs_4hops,
+        "common_neighbors": _q_common_neighbors,
         "sssp_4rounds": _q_sssp_4rounds,
         "bowtie": _q_bowtie,
         "core_numbers": _q_core_numbers,
@@ -799,7 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
         "regex_token_count": _q_regex_token_count,
-        "winnow_fingerprints": _q_winnow_fingerprints,
+        "modularity_lpa20": _q_modularity,
         "winnow_pairs_capped": _q_winnow_pairs_capped,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "embedding_near_dup_bucketed": _q_embedding_near_dup_bucketed,
@@ -1489,6 +1516,34 @@ def _lpa_sql(rounds: int) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT id, label FROM l{rounds}"
 
 
+def _modularity_sql(rounds: int) -> str:
+    """Newman modularity of the depth-`rounds` LPA labeling: the _lpa_sql
+    chain feeds exact HUGEINT community sums (mirrors the decimal(38,0)
+    Spark accumulation); Q is 3 correctly-rounded IEEE ops on the exact
+    integers, quantized on the 2^30 binary grid (graphstats policy)."""
+    lpa = _lpa_sql(rounds)
+    prefix = lpa.rsplit(" SELECT id, label FROM", 1)[0]
+    g = "1073741824.0"
+    return (
+        prefix + ", "
+        f"labs AS MATERIALIZED (SELECT id, label FROM l{rounds}), "
+        "degm AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM sym GROUP BY u), "
+        "mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e), "
+        "intra AS (SELECT la.label AS label, CAST(count(*) AS HUGEINT) AS lc FROM e "
+        "JOIN labs la ON e.src = la.id JOIN labs lb ON e.dst = lb.id "
+        "WHERE la.label = lb.label GROUP BY la.label), "
+        "dsum AS (SELECT la.label AS label, CAST(sum(d.deg) AS HUGEINT) AS dc "
+        "FROM labs la JOIN degm d ON la.id = d.id GROUP BY la.label), "
+        "per AS (SELECT ds.label, coalesce(i.lc, 0) AS lc, ds.dc FROM dsum ds "
+        "LEFT JOIN intra i ON ds.label = i.label), "
+        "q AS (SELECT CAST(count(*) AS BIGINT) AS n_communities, "
+        "sum(4 * (SELECT m FROM mm) * lc - dc * dc) AS qn FROM per) "
+        "SELECT n_communities, (SELECT m FROM mm) AS n_edges, "
+        f"floor(CAST(qn AS DOUBLE) / (4.0 * CAST((SELECT m FROM mm) AS DOUBLE) * "
+        f"CAST((SELECT m FROM mm) AS DOUBLE)) * {g}) / {g} AS modularityq FROM q"
+    )
+
+
 def _simhash_sql() -> str:
     high = "('8','9','a','b','c','d','e','f')"
     sums = ", ".join(
@@ -1809,13 +1864,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.v) "
             "SELECT v AS id, min(r) AS component FROM reach GROUP BY v"
         ),
-        "triangles_per_vertex": (
-            f"WITH {E_SQL}, "
-            "tri AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z "
-            "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst "
-            "JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst) "
-            "SELECT id, count(*) AS tri FROM (SELECT x AS id FROM tri "
-            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id"
+        # katz_5iter: unrolled truncated-Katz chain over the directed
+        # fixture; per-iteration MATERIALIZED (the _pagerank_sql rationale)
+        "katz_5iter": (
+            f"WITH {E_SQL}, {DI_SQL}, {DIVERTS_SQL}, "
+            "x0 AS MATERIALIZED (SELECT id, CAST(1 AS HUGEINT) AS xs FROM dv), "
+            + ", ".join(
+                f"x{k} AS MATERIALIZED (SELECT b.id, CAST({20 ** k} AS HUGEINT) + "
+                f"coalesce(m{k}.s, 0) AS xs FROM x{k - 1} b LEFT JOIN "
+                f"(SELECT de.dst AS id, sum(xx.xs) AS s FROM de "
+                f"JOIN x{k - 1} xx ON de.src = xx.id GROUP BY de.dst) m{k} "
+                f"ON b.id = m{k}.id)"
+                for k in range(1, 6)
+            )
+            + f" SELECT id, CAST(xs AS DOUBLE) / {float(20 ** 5)} AS katz FROM x5"
         ),
         "clustering_coefficient": (
             f"WITH {E_SQL}, "
@@ -1881,17 +1943,21 @@ def oracle_sql() -> dict[str, str]:
         "diameter_2sweep": _diameter_sql(DIAM_ROUNDS),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
-        "bfs_4hops": (
-            f"WITH {E_SQL}, {SYM_SQL}, {VERTS_SQL}, "
-            "d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts WHERE id < 10), "
-            + ", ".join(
-                f"d{h} AS MATERIALIZED (SELECT * FROM d{h - 1} UNION ALL "
-                f"SELECT DISTINCT s.v AS id, {h} AS dist FROM sym s "
-                f"JOIN d{h - 1} f ON s.u = f.id AND f.dist = {h - 1} "
-                f"WHERE s.v NOT IN (SELECT id FROM d{h - 1}))"
-                for h in range(1, 5)
-            )
-            + " SELECT id, CAST(dist AS BIGINT) AS dist FROM d4"
+        # common_neighbors: integer-exact wedge counts with the declared
+        # hot-center cap and per-source top-k, both reproduced here
+        "common_neighbors": (
+            f"WITH {E_SQL}, {SYM_SQL}, "
+            "degw AS MATERIALIZED (SELECT u AS w, count(*) AS d FROM sym GROUP BY u), "
+            "ctr AS MATERIALIZED (SELECT s.v AS w, s.u AS x FROM sym s "
+            f"JOIN degw ON s.v = degw.w WHERE degw.d <= {CN_HOT_CAP}), "
+            "p AS MATERIALIZED (SELECT c1.x AS a, c2.x AS b, "
+            "CAST(count(*) AS BIGINT) AS cn FROM ctr c1 "
+            "JOIN ctr c2 ON c1.w = c2.w AND c1.x < c2.x GROUP BY c1.x, c2.x), "
+            "np AS (SELECT p.a, p.b, p.cn FROM p LEFT JOIN e "
+            "ON p.a = e.src AND p.b = e.dst WHERE e.src IS NULL), "
+            "r AS (SELECT a, b, cn, row_number() OVER "
+            "(PARTITION BY a ORDER BY cn DESC, b ASC) AS rn FROM np) "
+            f"SELECT a, b, cn, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {CN_K}"
         ),
         "graph_stats": (
             f"WITH {E_SQL}, "
@@ -1973,15 +2039,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {DOCS_NORM_SQL} SELECT doc_id, CAST(len(regexp_extract_all(n, "
             r"'[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens FROM t"
         ),
-        "winnow_fingerprints": (
-            # k=8, w=4; mirrors operators.dedup.winnow_fingerprints exactly
-            f"WITH {DOCS_NORM_SQL}, "
-            "h AS MATERIALIZED (SELECT doc_id, CASE WHEN length(n) < 8 THEN [md5(n)] "
-            "ELSE [md5(n[i:i+7]) for i in range(1, length(n) - 8 + 2)] END AS hs FROM t), "
-            "wn AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] "
-            "ELSE [list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)] END AS ws FROM h) "
-            "SELECT doc_id AS id, unnest(list_distinct(ws)) AS wfp FROM wn"
-        ),
+        "modularity_lpa20": _modularity_sql(20),
         "winnow_pairs_capped": (
             # hot-fingerprint cap: postings in buckets of > WINNOW_CAP docs
             # removed before the self-join (mirrors _drop_hot_buckets)

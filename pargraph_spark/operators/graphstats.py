@@ -102,3 +102,70 @@ def avg_neighbor_degree_profile(edges: DataFrame) -> DataFrame:
             ).alias("knnq"),
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a vertex partition (e.g. LPA communities) over
+    the undirected graph: Q = Σ_c [ L_c/m − (d_c/2m)² ] with m the
+    undirected edge count, L_c the intra-community edge count and d_c the
+    community degree sum. One row (n_communities, n_edges, modularityq).
+
+    Exactness: the numerator is accumulated as Σ_c (4m·L_c − d_c²) in
+    decimal(38,0) — exact and order-independent at 10^12-edge scale where
+    d_c² overflows BIGINT — then Q = num / 4m² is formed with three
+    correctly-rounded IEEE ops on exactly-converted operands and quantized
+    on the 2^30 binary grid (the degree_assortativity policy), so the
+    emitted value is bit-identical across engines.
+
+    Scale shape: two E-scale joins against the V-scale label map (hash, or
+    broadcast when the label map fits), then per-community partial-combined
+    aggregates over at-most-V rows. No iteration, no windows.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    lab = labels.select("id", "label")
+    lu = lab.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        und.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("lc"))
+    )
+    dsum = (
+        lab.join(deg, "id")
+        .groupBy("label")
+        .agg(F.sum(F.col("deg").cast("decimal(19,0)")).alias("dc"))
+    )
+    magg = und.agg(F.count("*").alias("m"))
+    per = (
+        dsum.join(intra, "label", "left")
+        .withColumn("lc", F.coalesce("lc", F.lit(0).cast("decimal(38,0)")))
+        .crossJoin(F.broadcast(magg))
+    )
+    q = per.agg(
+        F.count("*").alias("n_communities"),
+        F.first("m").alias("n_edges"),
+        F.sum(
+            F.lit(4).cast("decimal(38,0)")
+            * F.col("m").cast("decimal(38,0)")
+            * F.col("lc")
+            - F.col("dc") * F.col("dc")
+        ).alias("qn"),
+    )
+    md = F.col("n_edges").cast("double")
+    return q.select(
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        _q30(F.col("qn").cast("double") / (F.lit(4.0) * md * md)).alias(
+            "modularityq"
+        ),
+    )

@@ -1,0 +1,158 @@
+"""Katz / modularity / common-neighbor top-k vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from pargraph_spark.operators.centrality import katz_centrality
+from pargraph_spark.operators.graphstats import modularity
+from pargraph_spark.operators.linkpred import common_neighbors_topk
+
+
+def _random_digraph(seed: int, n: int, m: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            es.add((a, b))
+    return sorted(es)
+
+
+def _katz_oracle(edges, alpha, beta, iters):
+    verts = sorted({v for e in edges for v in e})
+    inc = defaultdict(list)
+    for s, d in set(edges):
+        if s != d:
+            inc[d].append(s)
+    x = {v: beta for v in verts}
+    for _ in range(iters):
+        x = {v: beta + alpha * sum(x[u] for u in sorted(inc[v])) for v in verts}
+    return x
+
+
+def _und(edges):
+    return {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+
+def _modularity_oracle(edges, labels):
+    und = _und(edges)
+    m = len(und)
+    deg = defaultdict(int)
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    lc = defaultdict(int)
+    dc = defaultdict(int)
+    for u, v in und:
+        if labels[u] == labels[v]:
+            lc[labels[u]] += 1
+    for v, d in deg.items():
+        dc[labels[v]] += d
+    comms = set(dc)
+    q = sum(lc[c] / m - (dc[c] / (2 * m)) ** 2 for c in comms)
+    return len(comms), m, q
+
+
+def _cn_oracle(edges, k, hot_cap):
+    und = _und(edges)
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    centers = {w for w in adj if hot_cap is None or len(adj[w]) <= hot_cap}
+    cn = defaultdict(int)
+    for w in centers:
+        nb = sorted(adj[w])
+        for i, a in enumerate(nb):
+            for b in nb[i + 1:]:
+                cn[(a, b)] += 1
+    out = []
+    by_a = defaultdict(list)
+    for (a, b), c in cn.items():
+        if (a, b) not in und:
+            by_a[a].append((-c, b))
+    for a, lst in by_a.items():
+        for rn, (negc, b) in enumerate(sorted(lst)[:k], 1):
+            out.append((a, b, -negc, rn))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,n,m", [(2, 30, 80), (9, 50, 150)])
+def test_katz_vs_oracle(spark, seed, n, m):
+    edges = _random_digraph(seed, n, m)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in
+           katz_centrality(spark, df, alpha=0.05, beta=1.0, iters=5)
+           .scores.collect()}
+    want = _katz_oracle(edges, 0.05, 1.0, 5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+
+def test_modularity_two_cliques(spark):
+    # two 4-cliques joined by one bridge; perfect 2-community labeling
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = cl1 + cl2 + [(3, 10)]
+    labels = {v: 0 for v in range(4)} | {v: 1 for v in range(10, 14)}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(list(labels.items()), "id long, label long")
+    row = modularity(e, lab).collect()[0]
+    nc, m, q = _modularity_oracle(edges, labels)
+    assert row["n_communities"] == nc and row["n_edges"] == m
+    assert row["modularityq"] == pytest.approx(q, abs=2 / (1 << 30))
+
+
+@pytest.mark.parametrize("seed,n,m", [(4, 30, 70)])
+def test_modularity_random_partition(spark, seed, n, m):
+    edges = _random_digraph(seed, n, m)
+    verts = sorted({v for e in edges for v in e})
+    labels = {v: v % 3 for v in verts}
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(list(labels.items()), "id long, label long")
+    row = modularity(e, lab).collect()[0]
+    nc, mm, q = _modularity_oracle(edges, labels)
+    assert row["n_communities"] == nc and row["n_edges"] == mm
+    assert row["modularityq"] == pytest.approx(q, abs=2 / (1 << 30))
+
+
+@pytest.mark.parametrize("seed,n,m,k,cap", [(6, 25, 60, 3, None),
+                                            (8, 40, 120, 5, 6)])
+def test_common_neighbors_topk(spark, seed, n, m, k, cap):
+    edges = _random_digraph(seed, n, m)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["a"], r["b"], r["cn"], r["rn"])
+        for r in common_neighbors_topk(e, k=k, hot_cap=cap).collect()
+    )
+    assert got == _cn_oracle(edges, k, cap)
+
+
+def test_katz_exact_integer_tier(spark):
+    edges = _random_digraph(5, 30, 80)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in
+           katz_centrality(spark, df, iters=5, exact_denominator=20)
+           .scores.collect()}
+    # exact rational oracle -> one final float division, like the operator
+    verts = sorted({v for e in edges for v in e})
+    inc = defaultdict(list)
+    for s, d in set(edges):
+        if s != d:
+            inc[d].append(s)
+    X = {v: 1 for v in verts}
+    for t in range(1, 6):
+        X = {v: 20 ** t + sum(X[u] for u in inc[v]) for v in verts}
+    want = {v: float(X[v]) / float(20 ** 5) for v in verts}
+    assert got == want
+
+
+def test_katz_exact_requires_unit_beta(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        katz_centrality(spark, df, beta=2.0, exact_denominator=20)

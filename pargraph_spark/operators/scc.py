@@ -98,7 +98,12 @@ def strongly_connected_components(
         )
     ).distinct().repartition(P, "id").localCheckpoint(eager=True)
 
-    active_e = e0.repartition(P, "src").localCheckpoint(eager=True)
+    # repartition+persist, NEVER localCheckpoint: an ExistingRDD scan
+    # reports unknown partitioning and every inner fixpoint round would
+    # re-exchange the E-scale relation (the r4 persist-discipline rule,
+    # kcore.py/reach.py)
+    active_e = e0.repartition(P, "src").persist()
+    active_e.count()
     assigned: list[DataFrame] = []
     converged = False
     outer = 0
@@ -131,12 +136,15 @@ def strongly_connected_components(
             verts = keep
             if n_keep == 0:
                 break
-            active_e = (
+            new_e = (
                 active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
                 .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
                 .repartition(P, "src")
-                .localCheckpoint(eager=True)
+                .persist()
             )
+            new_e.count()
+            active_e.unpersist()
+            active_e = new_e
 
         n_active = verts.count()
         if n_active == 0:
@@ -228,13 +236,17 @@ def strongly_connected_components(
         if n_left == 0:
             converged = True
             break
-        active_e = (
+        new_e = (
             active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
             .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
             .repartition(P, "src")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        new_e.count()
+        active_e.unpersist()
+        active_e = new_e
 
+    active_e.unpersist()
     if assigned:
         out = assigned[0]
         for a in assigned[1:]:

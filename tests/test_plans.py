@@ -283,3 +283,87 @@ def test_tfidf_cosine_cap_is_broadcast_anti_join(spark):
                                     threshold=0.2, max_postings=50))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_scc_inner_fixpoints_probe_copartitioned_edges(spark):
+    # scc's two inner fixpoints (forward min-coloring / constrained
+    # backward sweep) iterate against the SAME persisted active edge set —
+    # mirror one round of each and assert the E-scale relation is probed
+    # in place on its own key (the kcore/hits persist discipline; scc.py
+    # persists active_e by src and a dual copy by dst)
+    e = em._di_edges(spark, SF)
+    e0 = e.where(F.col("src") != F.col("dst")).distinct()
+    e_src = e0.repartition(8, "src").persist()
+    e_dst = e0.repartition(8, "dst").persist()
+    e_src.count()
+    e_dst.count()
+    colors = (
+        e_src.select(F.col("src").alias("id")).distinct()
+        .withColumn("color", F.col("id")).localCheckpoint(eager=True)
+    )
+    fwd_msgs = (
+        e_src.join(colors.select(F.col("id").alias("src"), "color"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("color").alias("_mc"))
+    )
+    bwd_cand = (
+        e_dst.join(
+            colors.select(F.col("id").alias("dst"),
+                          F.col("color").alias("_c")), "dst")
+        .select(F.col("src").alias("_cid"), "_c")
+        .distinct()
+    )
+    for df, key in ((fwd_msgs, "src"), (bwd_cand, "dst")):
+        plan = _plan(df)
+        prefix = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in prefix, plan
+        assert f"Exchange hashpartitioning({key}" not in prefix, plan
+        assert plan.count("HashAggregate") >= 2 or "Exchange hashpartitioning(_cid" in plan, plan
+    e_src.unpersist()
+    e_dst.unpersist()
+
+
+def test_katz_superstep_probes_copartitioned_edges(spark):
+    e0 = em._di_edges(spark, SF).where(F.col("src") != F.col("dst")).distinct()
+    e = e0.repartition(8, "src").persist()
+    e.count()
+    x = (
+        e.select(F.col("src").alias("id")).distinct()
+        .withColumn("katz", F.lit(1.0)).localCheckpoint(eager=True)
+    )
+    msgs = (
+        e.join(x.select(F.col("id").alias("src"), "katz"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("katz").alias("_s"))
+    )
+    plan = _plan(msgs)
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange hashpartitioning(src" not in prefix, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    e.unpersist()
+
+
+def test_common_neighbors_topk_is_window_group_limit(spark):
+    from pargraph_spark.operators.linkpred import common_neighbors_topk
+
+    plan = _plan(common_neighbors_topk(em._co_edges(spark, SF), k=5,
+                                       hot_cap=64))
+    # rn <= k must compile to WindowGroupLimit (map-side partial top-k
+    # below the window shuffle), not a full sort+filter
+    assert "WindowGroupLimit" in plan, plan
+    # and the wedge-count aggregate partial-combines
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_modularity_broadcasts_edge_count(spark):
+    from pargraph_spark.operators.graphstats import modularity
+
+    e = em._co_edges(spark, SF)
+    labs = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id") % 7
+    )
+    plan = _plan(modularity(e, labs))
+    # the 1-row m aggregate enters as a broadcast (no driver collect)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

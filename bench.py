@@ -52,6 +52,7 @@ def main() -> None:
     from pargraph_spark.operators.labelprop import label_propagation
     from pargraph_spark.operators.pagerank import pagerank
     from pargraph_spark.operators.reach import kmv_reach
+    from pargraph_spark.operators.scc import strongly_connected_components
     from pargraph_spark.operators.similarity import (
         cosine_near_dup_bucketed,
         cosine_topk,
@@ -72,6 +73,9 @@ def main() -> None:
     edges = entrymod._co_edges(spark, sf_dir).where(F.col("src").isNotNull()).persist()
     n_edges = edges.count()
     extra["n_edges"] = n_edges
+
+    di_edges = entrymod._di_edges(spark, sf_dir).persist()
+    di_edges.count()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
@@ -141,6 +145,10 @@ def main() -> None:
         # round-4 flagship: KMV neighborhood sketches (2 propagation hops)
         ("kmv_reach", lambda: kmv_reach(spark, edges, hops=2, k=8,
                                         num_partitions=shuffle).count()),
+        # round-5 flagship: SCC over the deterministically re-oriented
+        # directed fixture (trim + delta-frontier coloring/backward sweep)
+        ("scc", lambda: strongly_connected_components(
+            spark, di_edges, num_partitions=shuffle).components.count()),
     ]
 
     for _trial in range(trials):

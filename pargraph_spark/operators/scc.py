@@ -113,6 +113,7 @@ def strongly_connected_components(
         t0 = time.monotonic()
 
         # ---- 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
+        n_verts = verts.count()
         while True:
             has_out = active_e.select(F.col("src").alias("id")).distinct()
             has_in = active_e.select(F.col("dst").alias("id")).distinct()
@@ -123,17 +124,16 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             n_keep = keep.count()
-            trimmed = verts.join(keep, "id", "left_anti")
-            n_trim = trimmed.count()
+            n_trim = n_verts - n_keep
             if n_trim == 0:
                 verts = keep
                 break
-            assigned.append(
-                trimmed.select("id", F.col("id").alias("scc")).localCheckpoint(
-                    eager=True
-                )
-            )
+            # trimmed's lineage is shallow (checkpointed verts ⋈ keep) — no
+            # materialization needed, the final union reads it once
+            trimmed = verts.join(keep, "id", "left_anti")
+            assigned.append(trimmed.select("id", F.col("id").alias("scc")))
             verts = keep
+            n_verts = n_keep
             if n_keep == 0:
                 break
             new_e = (
@@ -146,7 +146,7 @@ def strongly_connected_components(
             active_e.unpersist()
             active_e = new_e
 
-        n_active = verts.count()
+        n_active = n_verts
         if n_active == 0:
             converged = True
             break
@@ -156,12 +156,16 @@ def strongly_connected_components(
         e_dst = active_e.repartition(P, "dst").persist()
         e_dst.count()
 
-        # ---- 2. forward min-label coloring to fixpoint
+        # ---- 2. forward min-label coloring to fixpoint — DELTA frontier:
+        # min-propagation is monotone, so only vertices whose color just
+        # improved need to re-emit; late-round cost is frontier-scale, not
+        # V-scale (AQE broadcasts the shrinking frontier side)
         colors = verts.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+        frontier = colors
         for _ in range(max_inner):
             msgs = (
                 e_src.join(
-                    colors.select(F.col("id").alias("src"), "color"), "src"
+                    frontier.select(F.col("id").alias("src"), "color"), "src"
                 )
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("_mc"))
@@ -176,21 +180,23 @@ def strongly_connected_components(
                 .repartition(P, "id")
                 .localCheckpoint(eager=True)
             )
-            changed = new_colors.agg(
-                F.sum(F.col("_chg").cast("long")).alias("c")
-            ).first()["c"]
+            frontier = new_colors.where("_chg").select("id", "color")
+            changed = frontier.count()
             colors = new_colors.drop("_chg")
             if not changed:
                 break
 
-        # ---- 3. constrained backward sweep from roots
+        # ---- 3. constrained backward sweep from roots — same delta rule:
+        # membership is monotone, only NEWLY-joined members notify their
+        # in-neighbors
         state = colors.withColumn(
             "in_scc", F.col("color") == F.col("id")
         ).localCheckpoint(eager=True)
+        frontier = state.where("in_scc").select("id", "color")
         for _ in range(max_inner):
             cand = (
                 e_dst.join(
-                    state.where("in_scc").select(
+                    frontier.select(
                         F.col("id").alias("dst"), F.col("color").alias("_c")
                     ),
                     "dst",
@@ -213,16 +219,16 @@ def strongly_connected_components(
                 .repartition(P, "id")
                 .localCheckpoint(eager=True)
             )
-            changed = new_state.agg(
-                F.sum(F.col("_chg").cast("long")).alias("c")
-            ).first()["c"]
+            frontier = new_state.where("_chg").select("id", "color")
+            changed = frontier.count()
             state = new_state.drop("_chg")
             if not changed:
                 break
 
         # ---- 4. extract the discovered SCCs, shrink the active graph
+        # (state is checkpointed, so members' lineage is shallow)
         members = state.where("in_scc").select("id", F.col("color").alias("scc"))
-        assigned.append(members.localCheckpoint(eager=True))
+        assigned.append(members)
         verts = (
             verts.join(members.select("id"), "id", "left_anti")
             .repartition(P, "id")

@@ -37,15 +37,22 @@ from pyspark.sql import functions as F
 
 from pargraph_spark.functions.text import (
     LANG_ORDER,
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    PII_URL_RE,
     STOPWORDS,
     fingerprint,
     lang_id,
+    norm_text,
+    pii_counts,
     quality_score,
+    scrub_pii,
     simhash16,
     token_count,
 )
 from pargraph_spark.operators.components import connected_components
 from pargraph_spark.operators.dedup import (
+    contamination_counts,
     doc_shingles,
     exact_dedup,
     jaccard_verify,
@@ -69,7 +76,10 @@ from pargraph_spark.operators.similarity import (
     lsh_ann_topk,
     plane_signs,
 )
-from pargraph_spark.operators.triangles import triangles_per_vertex
+from pargraph_spark.operators.triangles import (
+    edge_neighborhood_jaccard,
+    triangles_per_vertex,
+)
 
 DAMPING = 0.85
 CC_CAP = 300  # vertex-id cap for the recursive-CTE-oracled CC query
@@ -236,6 +246,23 @@ def _co_wedges(spark, sf):
 def _q_wpagerank_5iter(spark, sf):
     res = pagerank(spark, _co_wedges(spark, sf), damping=DAMPING, tol=0.0,
                    max_iter=5, weight_col="w")
+    return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
+
+
+def _q_wppr_5iter(spark, sf):
+    # WEIGHTED + PERSONALIZED PageRank in one run: exercises the
+    # weight-split (w/W(u)) and teleport paths together in a single oracle
+    # (consolidates r4's ppr_5iter + wpagerank_5iter slots; each
+    # single-feature variant keeps pytest coverage)
+    we = _co_wedges(spark, sf)
+    verts = (
+        we.select(F.col("src").alias("id"))
+        .unionByName(we.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") < PPR_SEED_CAP).withColumn("w", F.lit(1.0))
+    res = pagerank(spark, we, damping=DAMPING, tol=0.0, max_iter=5,
+                   teleport=seeds, weight_col="w")
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
@@ -504,6 +531,45 @@ def _q_pagerank_30iter(spark, sf):
 
 def _q_cc_full(spark, sf):
     return connected_components(spark, _co_edges(spark, sf)).components
+
+
+def _q_edge_jaccard(spark, sf):
+    return edge_neighborhood_jaccard(_co_edges(spark, sf))
+
+
+CONTAM_PROBE_CAP = 20
+
+
+def _q_contamination(spark, sf):
+    docs = _t(spark, sf, "documents")
+    probe = docs.where(F.col("doc_id") < CONTAM_PROBE_CAP)
+    cands = docs.where(F.col("doc_id") >= CONTAM_PROBE_CAP)
+    out = contamination_counts(cands, probe, "doc_id", "text", shingle_size=3)
+    return out.select(F.col("id").alias("doc_id"), "n_shared")
+
+
+def _q_pii_scrub(spark, sf):
+    # the synthetic corpus carries no natural PII, so each doc is augmented
+    # with a deterministic contact tail (identical expression in the
+    # oracle) — the query then tests regex-parity masking + counting
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        norm_text(F.col("text")),
+        F.lit(" contact doc"), F.col("doc_id").cast("string"),
+        F.lit("@example.com via http://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/p"), F.col("doc_id").cast("string"),
+        F.lit(" call +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+    n_urls, n_emails, n_phones = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(scrub_pii(aug).cast("binary")).alias("scrub_fp"),
+    )
 
 
 def _q_katz(spark, sf):
@@ -793,10 +859,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_5iter": _q_katz,
         "clustering_coefficient": _q_clustering_coefficient,
         "pagerank_30iter": _q_pagerank_30iter,
-        "ppr_5iter": _q_ppr_5iter,
-        "wpagerank_5iter": _q_wpagerank_5iter,
+        # r5 consolidation #2: ppr_5iter + wpagerank_5iter merged into the
+        # combined wppr_5iter (teleport AND weight paths in one oracle);
+        # graph_stats / docs_sample folded out (degrees + events_stratified
+        # keep those paths oracled; both keep pytest coverage, graph_stats
+        # also stays in entry()'s smoke path) — slots to edge_jaccard /
+        # pii_scrub / contamination
+        "wppr_5iter": _q_wppr_5iter,
+        "edge_jaccard": _q_edge_jaccard,
         "hits_5iter": _q_hits_5iter,
-        "graph_stats": _q_graph_stats,
+        "pii_scrub": _q_pii_scrub,
         "common_neighbors": _q_common_neighbors,
         "sssp_4rounds": _q_sssp_4rounds,
         "bowtie": _q_bowtie,
@@ -833,7 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionize": _q_event_sessionize,
         "event_props_stats": _q_event_props_stats,
         "ann_ivf": _q_ann_ivf,
-        "docs_sample": _q_docs_sample,
+        "contamination": _q_contamination,
         "events_stratified": _q_events_stratified,
         "kmeans_clusters": _q_kmeans_clusters,
     }
@@ -903,6 +975,46 @@ def _ppr_sql(iters: int) -> str:
         parts.append(
             f"msg{c} {m} (SELECT e.dst AS id, sum(r.rank / r.outdeg) AS msg "
             f"FROM e JOIN r{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{c} {m} (SELECT b.id, b.outdeg, b.tw, "
+            f"(1.0 - {DAMPING}) * b.tw + {DAMPING} * "
+            f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM dang{c}) * b.tw) AS rank "
+            f"FROM r{p} b LEFT JOIN msg{c} msgv ON b.id = msgv.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _wppr_sql(iters: int) -> str:
+    """Unrolled WEIGHTED + PERSONALIZED PageRank mirroring
+    pagerank(teleport=seeds, weight_col='w'): sources split rank by
+    w/W(u), teleport/dangling mass re-enters through the seed
+    distribution (uniform over id < PPR_SEED_CAP)."""
+    m = "AS MATERIALIZED"
+    parts = [
+        "we AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY a.l_partkey, b.l_partkey)",
+        f"verts {m} (SELECT src AS id FROM we UNION SELECT dst AS id FROM we)",
+        f"scnt {m} (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts WHERE id < {PPR_SEED_CAP})",
+        f"deg {m} (SELECT src AS id, sum(w) AS outdeg FROM we GROUP BY src)",
+        f"base {m} (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg, "
+        f"CASE WHEN v.id < {PPR_SEED_CAP} THEN 1.0 / (SELECT c FROM scnt) ELSE 0.0 END AS tw "
+        "FROM verts v LEFT JOIN deg d ON v.id = d.id)",
+        f"r0 {m} (SELECT id, outdeg, tw, tw AS rank FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"dang{c} {m} (SELECT coalesce(sum(rank), 0.0) AS mass FROM r{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"msg{c} {m} (SELECT e.dst AS id, sum((r.rank / r.outdeg) * e.w) AS msg "
+            f"FROM we e JOIN r{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
         )
         parts.append(
             f"r{c} {m} (SELECT b.id, b.outdeg, b.tw, "
@@ -1893,8 +2005,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM deg LEFT JOIN tpv ON deg.id = tpv.id"
         ),
         "pagerank_30iter": _pagerank_sql(30),
-        "ppr_5iter": _ppr_sql(5),
-        "wpagerank_5iter": _wpagerank_sql(5),
+        "wppr_5iter": _wppr_sql(5),
+        # edge_jaccard: integer triangle support per edge + ONE IEEE
+        # division of exact ints — bit-identical, no rounding policy
+        "edge_jaccard": (
+            f"WITH {E_SQL}, "
+            "tri AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z "
+            "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst "
+            "JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
+            "supp AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS common "
+            "FROM (SELECT x AS a, y AS b FROM tri UNION ALL SELECT x, z FROM tri "
+            "UNION ALL SELECT y, z FROM tri) GROUP BY a, b), "
+            "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
+            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id) "
+            "SELECT e.src AS u, e.dst AS v, coalesce(s.common, 0) AS common, "
+            "CAST(coalesce(s.common, 0) AS DOUBLE) / "
+            "CAST(du.d + dv.d - coalesce(s.common, 0) AS DOUBLE) AS jac "
+            "FROM e LEFT JOIN supp s ON e.src = s.a AND e.dst = s.b "
+            "JOIN deg du ON e.src = du.id JOIN deg dv ON e.dst = dv.id"
+        ),
         "sssp_4rounds": _sssp_sql(4),
         # bowtie: Broder regions from the same reachability closure; fwd_in /
         # bwd_out seed from the STRICT IN/OUT sets, matching bowtie_classify
@@ -1959,14 +2088,23 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY a ORDER BY cn DESC, b ASC) AS rn FROM np) "
             f"SELECT a, b, cn, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {CN_K}"
         ),
-        "graph_stats": (
-            f"WITH {E_SQL}, "
-            "deg AS (SELECT id, count(*) AS d FROM "
-            "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id) "
-            "SELECT CAST(count(*) AS BIGINT) AS n_vertices, "
-            "CAST(sum(d) / 2 AS BIGINT) AS n_edges, "
-            "CAST(max(d) AS BIGINT) AS max_degree, "
-            "round(avg(d), 6) AS avg_degree6 FROM deg"
+        # pii_scrub: deterministic contact-tail augmentation (the corpus
+        # has no natural PII), then count + mask with backslash-free
+        # patterns that parse identically under Java regex and RE2
+        "pii_scrub": (
+            f"WITH {DOCS_NORM_SQL}, "
+            "aug AS (SELECT doc_id, n || ' contact doc' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com via http://h' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| '.test/p' || CAST(doc_id AS VARCHAR) || ' call +1555' "
+            "|| lpad(CAST(doc_id AS VARCHAR), 7, '0') AS s FROM t) "
+            "SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(s, '{PII_URL_RE}')) AS BIGINT) AS n_urls, "
+            f"CAST(len(regexp_extract_all(s, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails, "
+            f"CAST(len(regexp_extract_all(s, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(s, "
+            f"'{PII_URL_RE}', '<url>', 'g'), "
+            f"'{PII_EMAIL_RE}', '<email>', 'g'), "
+            f"'{PII_PHONE_RE}', '<phone>', 'g')) AS scrub_fp FROM aug"
         ),
         # cc_full: uncapped recursive min-label closure (the capped variant
         # exists as `connected_components` for cheap per-round checking)
@@ -2106,10 +2244,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _ivf_sql(),
         "kmeans_clusters": _kmeans_sql(),
-        "docs_sample": (
-            "SELECT doc_id FROM documents "
-            "WHERE substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8) "
-            f"< '{_fth(0.25)}'"
+        # contamination: distinct trigram shingles shared with the probe
+        # docs (id < CONTAM_PROBE_CAP) — integer-exact decontamination
+        "contamination": (
+            f"WITH {DOCS_NORM_SQL}, "
+            "shc AS MATERIALIZED (SELECT DISTINCT doc_id AS id, unnest("
+            "CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] END"
+            ") AS shingle FROM t), "
+            f"pr AS MATERIALIZED (SELECT DISTINCT shingle FROM shc WHERE id < {CONTAM_PROBE_CAP}) "
+            f"SELECT s.id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared "
+            f"FROM shc s JOIN pr ON s.shingle = pr.shingle "
+            f"WHERE s.id >= {CONTAM_PROBE_CAP} GROUP BY s.id"
         ),
         "events_stratified": (
             "SELECT event_id, event_type FROM events WHERE CASE "

@@ -184,3 +184,31 @@ def top_terms(
         .where(F.col("rank") <= int(k))
         .select(id_col, "term", "tf", "df", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns deliberately avoid backslash escapes and engine-specific classes
+# ([.] not \., [+] not \+, explicit char classes not \S) so Spark's Java
+# regex and the oracle's RE2 match byte-for-byte on the same input. Applied
+# to normalized (lowercased) text; URL masking runs FIRST so an address
+# embedded in a URL is consumed as one entity.
+PII_URL_RE = "https?://[a-z0-9./_-]+"
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PII_PHONE_RE = "[+][0-9]{8,}"
+
+
+def scrub_pii(c: Column) -> Column:
+    """Mask urls → emails → phone numbers with typed placeholder tokens."""
+    out = F.regexp_replace(c, PII_URL_RE, "<url>")
+    out = F.regexp_replace(out, PII_EMAIL_RE, "<email>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<phone>")
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_urls, n_emails, n_phones) on the UNscrubbed text (url count first,
+    so an email inside a url still counts as a url on the scrub side)."""
+    return (
+        F.regexp_count(c, F.lit(PII_URL_RE)),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)),
+    )

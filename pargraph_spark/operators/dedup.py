@@ -362,3 +362,33 @@ def tfidf_cosine_pairs(
         .select("a", "b", cos.alias("cos"))
         .where(F.col("cos") >= F.lit(float(threshold)))
     )
+
+
+def contamination_counts(
+    candidates: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Test-set decontamination: for each candidate document, the number
+    of DISTINCT word n-grams it shares with the probe corpus (benchmark /
+    eval set) — (id, n_shared), rows only for contaminated docs. The
+    pre-training hygiene op: drop or downweight training docs that leak
+    evaluation shingles (GPT-3 appendix C / PaLM-style n-gram overlap).
+
+    Scale shape: the probe shingle set is benchmark-sized (≪ corpus), so
+    the semi-ish join broadcasts it and the corpus-side shingle explosion
+    never shuffles — one partial-combined count per doc. Exact integer
+    counts; the oracle replays the same shingling in SQL."""
+    sh = doc_shingles(candidates, id_col, text_col, shingle_size)
+    probe_sh = (
+        doc_shingles(probe, id_col, text_col, shingle_size)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )

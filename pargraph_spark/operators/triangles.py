@@ -369,3 +369,52 @@ def truss_numbers(
     )
     melt.unpersist()
     return TrussNumbersResult(out, rounds, converged, metrics)
+
+
+def edge_neighborhood_jaccard(edges: DataFrame) -> DataFrame:
+    """Per-edge neighborhood overlap: for every undirected edge (u, v),
+    common = |Γ(u) ∩ Γ(v)| (triangles through the edge) and
+    jac = common / (deg(u) + deg(v) − common), the Jaccard similarity of
+    the endpoint neighborhoods — the standard tie-strength / link-spam
+    signal (an edge inside a clique scores →1, a bridge scores 0).
+
+    Exactness: common and both degrees are integers; jac is ONE IEEE
+    division of exactly-converted ints — bit-identical across engines.
+
+    Scale shape: reuses triangle_triples' degree-ordered orientation (the
+    O9 wedge-bounding discipline — fan-out keyed on the LOWER-degree
+    endpoint), projects each triangle onto its three edges and
+    partial-combines the per-edge counts; then one V-scale degree join.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    tris = triangle_triples(edges)
+    pairs = (
+        tris.select(F.col("s").alias("a"), F.col("x").alias("b"))
+        .unionByName(tris.select(F.col("s").alias("a"), F.col("y").alias("b")))
+        .unionByName(tris.select(F.col("x").alias("a"), F.col("y").alias("b")))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+    )
+    supp = pairs.groupBy("u", "v").agg(F.count("*").alias("common"))
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        und.join(supp, ["u", "v"], "left")
+        .withColumn("common", F.coalesce("common", F.lit(0)))
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("_dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common"),
+            (
+                F.col("common").cast("double")
+                / (F.col("_du") + F.col("_dv") - F.col("common")).cast("double")
+            ).alias("jac"),
+        )
+    )

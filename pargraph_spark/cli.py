@@ -26,7 +26,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pargraph_spark")
     ap.add_argument("job", choices=["pagerank", "components", "labels",
                                     "triangles", "kcore", "corenums",
-                                    "truss", "trussnums",
+                                    "truss", "trussnums", "scc", "bowtie",
+                                    "katz", "communities",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -124,6 +125,44 @@ def main(argv: list[str] | None = None) -> int:
         tn.trussness.write.mode("overwrite").parquet(
             f"{args.output}/truss_numbers.parquet")
         summary["trussnums"] = {"rounds": tn.rounds, "converged": tn.converged}
+    if args.job == "scc":
+        from pargraph_spark.operators.scc import strongly_connected_components
+
+        sc = strongly_connected_components(spark, graph.edges,
+                                           graph.vertices.select("id"),
+                                           num_partitions=args.partitions)
+        sc.components.write.mode("overwrite").parquet(f"{args.output}/scc.parquet")
+        summary["scc"] = {"outer_rounds": sc.outer_rounds,
+                          "converged": sc.converged}
+    if args.job == "bowtie":
+        from pargraph_spark.operators.scc import bowtie_classify
+
+        bt = bowtie_classify(spark, graph.edges,
+                             num_partitions=args.partitions).persist()
+        bt.write.mode("overwrite").parquet(f"{args.output}/bowtie.parquet")
+        summary["bowtie"] = {
+            r["region"]: r["count"]
+            for r in bt.groupBy("region").count().collect()
+        }
+        bt.unpersist()
+    if args.job == "katz":
+        from pargraph_spark.operators.centrality import katz_centrality
+
+        kz = katz_centrality(spark, graph.edges, iters=max(args.hops, 1),
+                             num_partitions=args.partitions)
+        kz.scores.write.mode("overwrite").parquet(f"{args.output}/katz.parquet")
+        summary["katz"] = {"iterations": kz.iterations}
+    if args.job == "communities":
+        from pargraph_spark.operators.graphstats import modularity
+        from pargraph_spark.operators.labelprop import label_propagation
+
+        lp = label_propagation(spark, graph.edges, graph.vertices.select("id"),
+                               num_partitions=args.partitions)
+        lp.labels.write.mode("overwrite").parquet(f"{args.output}/labels.parquet")
+        row = modularity(graph.edges, lp.labels).collect()[0]
+        summary["communities"] = {"iterations": lp.iterations,
+                                  "n_communities": row["n_communities"],
+                                  "modularity": float(row["modularityq"])}
     if args.job == "reach":
         from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
 

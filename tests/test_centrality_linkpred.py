@@ -6,6 +6,7 @@ import random
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from pargraph_spark.operators.centrality import katz_centrality
 from pargraph_spark.operators.graphstats import modularity
@@ -156,3 +157,69 @@ def test_katz_exact_requires_unit_beta(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         katz_centrality(spark, df, beta=2.0, exact_denominator=20)
+
+
+def test_edge_jaccard_vs_brute(spark):
+    from pargraph_spark.operators.triangles import edge_neighborhood_jaccard
+
+    edges = _random_digraph(12, 30, 90)
+    und = _und(edges)
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["u"], r["v"]): (r["common"], r["jac"])
+           for r in edge_neighborhood_jaccard(e).collect()}
+    assert set(got) == und
+    for (u, v), (c, j) in got.items():
+        common = len(adj[u] & adj[v])
+        assert c == common
+        assert j == float(common) / float(len(adj[u]) + len(adj[v]) - common)
+
+
+def test_contamination_counts_vs_brute(spark):
+    from pargraph_spark.operators.dedup import contamination_counts
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "the quick brown fox naps all day long"),      # shares 2 trigrams w/ 0
+        (3, "five dozen liquor jugs sit on the shelf"),     # shares 2 trigrams w/ 1
+        (4, "completely unrelated words only here now"),    # clean
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    probe = df.where(F.col("doc_id") < 2)
+    cands = df.where(F.col("doc_id") >= 2)
+    got = {r["id"]: r["n_shared"] for r in
+           contamination_counts(cands, probe, "doc_id", "text", 3).collect()}
+
+    def tri(s):
+        t = s.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    probe_sh = tri(docs[0][1]) | tri(docs[1][1])
+    want = {}
+    for d, s in docs[2:]:
+        n = len(tri(s) & probe_sh)
+        if n:
+            want[d] = n
+    assert got == want
+    assert 4 not in got
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from pargraph_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "see http://a.b/c and mail bob.smith@x-corp.io or +123456789 now"),
+         (2, "no entities here")],
+        "id long, s string")
+    n_urls, n_emails, n_phones = pii_counts(F.col("s"))
+    rows = {r["id"]: r for r in df.select(
+        "id", n_urls.alias("u"), n_emails.alias("e"), n_phones.alias("p"),
+        scrub_pii(F.col("s")).alias("out")).collect()}
+    assert (rows[1]["u"], rows[1]["e"], rows[1]["p"]) == (1, 1, 1)
+    assert rows[1]["out"] == "see <url> and mail <email> or <phone> now"
+    assert (rows[2]["u"], rows[2]["e"], rows[2]["p"]) == (0, 0, 0)
+    assert rows[2]["out"] == "no entities here"

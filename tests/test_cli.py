@@ -129,3 +129,26 @@ def test_cli_truss_jobs(tmp_path):
         assert job in summary, summary
     assert os.path.isdir(str(tmp_path / "truss" / "ktruss.parquet"))
     assert os.path.isdir(str(tmp_path / "trussnums" / "truss_numbers.parquet"))
+
+
+def test_cli_scc_bowtie_katz_communities_jobs(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    for job in ("scc", "bowtie", "katz", "communities"):
+        out = str(tmp_path / job)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pargraph_spark.cli", job,
+             "--synth-pages", "300", "--output", out,
+             "--cores", "2", "--partitions", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert job in summary, summary
+    assert os.path.isdir(str(tmp_path / "scc" / "scc.parquet"))
+    assert os.path.isdir(str(tmp_path / "bowtie" / "bowtie.parquet"))
+    assert os.path.isdir(str(tmp_path / "katz" / "katz.parquet"))
+    assert os.path.isdir(str(tmp_path / "communities" / "labels.parquet"))

@@ -223,3 +223,62 @@ def test_scrub_pii_masks_and_counts(spark):
     assert rows[1]["out"] == "see <url> and mail <email> or <phone> now"
     assert (rows[2]["u"], rows[2]["e"], rows[2]["p"]) == (0, 0, 0)
     assert rows[2]["out"] == "no entities here"
+
+
+def _densest_oracle_stats(edges, num=1, den=2):
+    und = _und(edges)
+    verts = {v for e in und for v in e}
+    e = set(und)
+    stats = []
+    k = 0
+    while verts:
+        n, m = len(verts), len(e)
+        stats.append((k, n, m))
+        deg = defaultdict(int)
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {v for v in verts if deg[v] * n * den > 2 * (den + num) * m}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+        verts = keep
+        k += 1
+    return stats
+
+
+@pytest.mark.parametrize("seed,n,m", [(21, 30, 70), (23, 50, 160)])
+def test_densest_subgraph_vs_brute(spark, seed, n, m):
+    from pargraph_spark.operators.densest import densest_subgraph
+
+    edges = _random_digraph(seed, n, m)
+    res = densest_subgraph(spark, spark.createDataFrame(edges, "src long, dst long"))
+    want = _densest_oracle_stats(edges)
+    got = sorted((r["round"], r["n_vertices"], r["n_edges"])
+                 for r in res.stats.collect())
+    assert got == want
+    # best round: exact max density, ties -> earliest
+    bk, bn, bm = max(want, key=lambda t: (t[2] / t[1], -t[0]))
+    assert (res.best_round, res.best_density) == (bk, bm / bn)
+    # replayed vertex set == oracle's survivor set at that round
+    verts = {v for e2 in _und(edges) for v in e2}
+    e = set(_und(edges))
+    for k in range(bk):
+        n0, m0 = len(verts), len(e)
+        deg = defaultdict(int)
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        verts = {v for v in verts if deg[v] * n0 * 2 > 6 * m0}
+        e = {(u, v) for u, v in e if u in verts and v in verts}
+    assert {r["id"] for r in res.vertices.collect()} == verts
+
+
+def test_densest_finds_planted_clique(spark):
+    # sparse ring + a planted 6-clique: the peel must land on the clique
+    from pargraph_spark.operators.densest import densest_subgraph
+
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    clique = [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+    df = spark.createDataFrame(ring + clique, "src long, dst long")
+    res = densest_subgraph(spark, df)
+    assert {r["id"] for r in res.vertices.collect()} == set(range(100, 106))
+    assert res.best_density == 15 / 6

@@ -41,6 +41,7 @@ from pargraph_spark.functions.text import (
     PII_PHONE_RE,
     PII_URL_RE,
     STOPWORDS,
+    bpe_token_count,
     fingerprint,
     lang_id,
     norm_text,
@@ -70,6 +71,7 @@ from pargraph_spark.operators.scc import (
     bowtie_classify,
     strongly_connected_components,
 )
+from pargraph_spark.operators.trust import spam_mass
 from pargraph_spark.operators.similarity import (
     cosine_near_dup_bucketed,
     cosine_topk,
@@ -606,15 +608,37 @@ def _q_bowtie(spark, sf):
     return bowtie_classify(spark, _di_edges(spark, sf))
 
 
-def _q_lpa_full(spark, sf):
-    return label_propagation(spark, _co_edges(spark, sf), max_iter=20).labels
+def _q_spam_mass(spark, sf):
+    # TrustRank + relative spam mass over the directed fixture, seeds =
+    # directed-graph vertices with id < PPR_SEED_CAP; 5 fixed supersteps
+    # per inner run so both unrolled CTE chains are exact. (Replaced the
+    # lpa_full slot — modularity_lpa20 runs the identical
+    # label_propagation(max_iter=20) inside its composition, so the
+    # LPA-full family stays oracle-covered; VERDICT r4 #2 rotation rule.)
+    de = _di_edges(spark, sf)
+    dv = (
+        de.select(F.col("src").alias("id"))
+        .unionByName(de.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = dv.where(F.col("id") < PPR_SEED_CAP)
+    res = spam_mass(spark, de, seeds, damping=DAMPING, iterations=5)
+    return res.scores.select(
+        "id",
+        F.round("rank", 7).alias("rank7"),
+        F.round("trust", 7).alias("trust7"),
+        F.round("spam_mass", 7).alias("sm7"),
+    )
 
 
 def _q_doc_stats(spark, sf):
+    # absorbs r4's regex_token_count slot (n_bpe_tokens column) — one
+    # query oracles the whole text-stats family (VERDICT r4 #2 rotation)
     docs = _t(spark, sf, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         fingerprint(F.col("text")).alias("fp"),
         lang_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 9).alias("quality"),
@@ -678,13 +702,25 @@ def _q_cosine_topk(spark, sf):
     )
 
 
-def _q_regex_token_count(spark, sf):
-    from pargraph_spark.functions.text import bpe_token_count
+BETWEENNESS_SEED_MOD = 97  # betweenness sources: id % 97 == 0
+BETWEENNESS_H = 3
 
-    docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+
+def _q_betweenness(spark, sf):
+    # bounded-distance (h=3) Brandes betweenness from a deterministic
+    # sampled source set over the directed fixture; grid-quantized
+    # dependency terms make the score bit-exact vs the unrolled oracle
+    from pargraph_spark.operators.betweenness import betweenness
+
+    de = _di_edges(spark, sf)
+    dv = (
+        de.select(F.col("src").alias("id"))
+        .unionByName(de.select(F.col("dst").alias("id")))
+        .distinct()
     )
+    seeds = dv.where(F.col("id") % BETWEENNESS_SEED_MOD == 0)
+    res = betweenness(spark, de, sources=seeds, max_depth=BETWEENNESS_H)
+    return res.scores
 
 
 def _q_winnow_fingerprints(spark, sf):
@@ -887,7 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_2sweep": _q_diameter,
         "wlpa_round3": _q_wlpa_round3,
         "cc_full": _q_cc_full,
-        "lpa_full": _q_lpa_full,
+        "spam_mass": _q_spam_mass,
         "doc_stats": _q_doc_stats,
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
@@ -897,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh": _q_ann_lsh,
-        "regex_token_count": _q_regex_token_count,
+        "betweenness_h3": _q_betweenness,
         "modularity_lpa20": _q_modularity,
         "winnow_pairs_capped": _q_winnow_pairs_capped,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
@@ -985,6 +1021,113 @@ def _ppr_sql(iters: int) -> str:
     return (
         "WITH " + ", ".join(parts)
         + f" SELECT id, round(rank, 7) AS rank7 FROM r{iters}"
+    )
+
+
+def _betweenness_sql(h: int) -> str:
+    """Unrolled bounded-distance Brandes over the directed fixture:
+    forward levels l0..lh (BIGINT path counts, visited via LEFT JOIN IS
+    NULL anti), backward deltas dh..d1 with each dependency term
+    quantized to the 2^-30 grid (grid multiples sum exactly in doubles →
+    bit-identical across engines, no output rounding)."""
+    m = "AS MATERIALIZED"
+    g = float(1 << 30)
+    parts = [
+        E_SQL,
+        DI_SQL,
+        DIVERTS_SQL,
+        f"l0 {m} (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma "
+        f"FROM dv WHERE id % {BETWEENNESS_SEED_MOD} = 0)",
+        f"vis0 {m} (SELECT s, v FROM l0)",
+    ]
+    for d in range(1, h + 1):
+        p = d - 1
+        parts.append(
+            f"m{d} {m} (SELECT t.s, e.dst AS v, sum(t.sigma) AS sigma "
+            f"FROM de e JOIN l{p} t ON e.src = t.v GROUP BY t.s, e.dst)"
+        )
+        parts.append(
+            f"l{d} {m} (SELECT m.s, m.v, m.sigma FROM m{d} m "
+            f"LEFT JOIN vis{p} x ON m.s = x.s AND m.v = x.v WHERE x.s IS NULL)"
+        )
+        parts.append(
+            f"vis{d} {m} (SELECT s, v FROM vis{p} UNION ALL SELECT s, v FROM l{d})"
+        )
+    parts.append(f"d{h} {m} (SELECT s, v, sigma, 0.0 AS delta FROM l{h})")
+    for d in range(h - 1, 0, -1):
+        parts.append(
+            f"c{d} {m} (SELECT lv.s, lv.v, "
+            f"sum(round(CAST(lv.sigma AS DOUBLE) / CAST(nx.sigma AS DOUBLE) "
+            f"* (1.0 + nx.delta) * {g}) / {g}) AS dsum "
+            f"FROM l{d} lv JOIN de e ON e.src = lv.v "
+            f"JOIN d{d + 1} nx ON nx.s = lv.s AND nx.v = e.dst "
+            f"GROUP BY lv.s, lv.v)"
+        )
+        parts.append(
+            f"d{d} {m} (SELECT lv.s, lv.v, lv.sigma, coalesce(c.dsum, 0.0) AS delta "
+            f"FROM l{d} lv LEFT JOIN c{d} c ON lv.s = c.s AND lv.v = c.v)"
+        )
+    union = " UNION ALL ".join(f"SELECT v, delta FROM d{d}" for d in range(1, h + 1))
+    parts.append(f"bcv {m} (SELECT v, sum(delta) AS bc FROM ({union}) GROUP BY v)")
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT dv.id, coalesce(b.bc, 0.0) AS bc FROM dv "
+        "LEFT JOIN bcv b ON dv.id = b.v"
+    )
+
+
+def _spam_mass_sql(iters: int) -> str:
+    """Uniform PageRank + TrustRank (teleport uniform over dv.id <
+    PPR_SEED_CAP) over the DIRECTED fixture, joined into relative spam
+    mass (Gyöngyi et al., VLDB'06): sm = (p − p')/p. Two unrolled CTE
+    chains (p*/t*) sharing the de/dv/deg prelude."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        DI_SQL,
+        DIVERTS_SQL,
+        f"n {m} (SELECT CAST(count(*) AS DOUBLE) AS nv FROM dv)",
+        f"scnt {m} (SELECT CAST(count(*) AS DOUBLE) AS c FROM dv WHERE id < {PPR_SEED_CAP})",
+        f"deg {m} (SELECT src AS id, count(*) AS outdeg FROM de GROUP BY src)",
+        f"base {m} (SELECT v.id, coalesce(d.outdeg, 0) AS outdeg, "
+        f"CASE WHEN v.id < {PPR_SEED_CAP} THEN 1.0 / (SELECT c FROM scnt) ELSE 0.0 END AS tw "
+        "FROM dv v LEFT JOIN deg d ON v.id = d.id)",
+        f"p0 {m} (SELECT id, outdeg, 1.0 / (SELECT nv FROM n) AS rank FROM base)",
+        f"t0 {m} (SELECT id, outdeg, tw, tw AS rank FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p, c = k - 1, k
+        parts.append(
+            f"pdang{c} {m} (SELECT coalesce(sum(rank), 0.0) AS mass FROM p{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"pmsg{c} {m} (SELECT e.dst AS id, sum(r.rank / r.outdeg) AS msg "
+            f"FROM de e JOIN p{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"p{c} {m} (SELECT b.id, b.outdeg, "
+            f"(1.0 - {DAMPING}) / (SELECT nv FROM n) + {DAMPING} * "
+            f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM pdang{c}) / (SELECT nv FROM n)) AS rank "
+            f"FROM p{p} b LEFT JOIN pmsg{c} msgv ON b.id = msgv.id)"
+        )
+        parts.append(
+            f"tdang{c} {m} (SELECT coalesce(sum(rank), 0.0) AS mass FROM t{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"tmsg{c} {m} (SELECT e.dst AS id, sum(r.rank / r.outdeg) AS msg "
+            f"FROM de e JOIN t{p} r ON e.src = r.id WHERE r.outdeg > 0 GROUP BY e.dst)"
+        )
+        parts.append(
+            f"t{c} {m} (SELECT b.id, b.outdeg, b.tw, "
+            f"(1.0 - {DAMPING}) * b.tw + {DAMPING} * "
+            f"(coalesce(msgv.msg, 0.0) + (SELECT mass FROM tdang{c}) * b.tw) AS rank "
+            f"FROM t{p} b LEFT JOIN tmsg{c} msgv ON b.id = msgv.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT p.id, round(p.rank, 7) AS rank7, round(t.rank, 7) AS trust7, "
+        f"round(CASE WHEN p.rank > 0 THEN (p.rank - t.rank) / p.rank ELSE 0.0 END, 7) AS sm7 "
+        f"FROM p{iters} p JOIN t{iters} t ON p.id = t.id"
     )
 
 
@@ -2118,12 +2261,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.v) "
             "SELECT v AS id, min(r) AS component FROM reach GROUP BY v"
         ),
-        # lpa_full: depth-20 unroll == a max_iter=20 run exactly — once the
-        # labeling converges at round c <= 20, rounds c+1..20 are identity
-        "lpa_full": _lpa_sql(20),
+        # spam_mass: dual unrolled chains (uniform PR + TrustRank) joined
+        # into relative spam mass; replaces lpa_full (modularity_lpa20
+        # runs the identical LPA-20 inside its composition)
+        "spam_mass": _spam_mass_sql(5),
         "doc_stats": (
             f"WITH {DOCS_NORM_SQL} "
-            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, md5(n) AS fp, "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            r"CAST(len(regexp_extract_all(n, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) "
+            "AS n_bpe_tokens, md5(n) AS fp, "
             f"{_lang_sql()} AS lang_pred, round({_quality_sql()}, 9) AS quality FROM t"
         ),
         "exact_dedup": (
@@ -2173,10 +2319,8 @@ def oracle_sql() -> dict[str, str]:
             "lower(substr(hex(encode(text)), 1, 16)) AS head_hex FROM documents"
         ),
         "cosine_topk": _COSINE_SQL,
-        "regex_token_count": (
-            f"WITH {DOCS_NORM_SQL} SELECT doc_id, CAST(len(regexp_extract_all(n, "
-            r"'[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens FROM t"
-        ),
+        # regex_token_count folded into doc_stats (n_bpe_tokens column)
+        "betweenness_h3": _betweenness_sql(BETWEENNESS_H),
         "modularity_lpa20": _modularity_sql(20),
         "winnow_pairs_capped": (
             # hot-fingerprint cap: postings in buckets of > WINNOW_CAP docs

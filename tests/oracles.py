@@ -219,3 +219,36 @@ def bowtie_oracle(edges: list[tuple[int, int]],
         else:
             regions[v] = "DISCONNECTED"
     return regions
+
+
+def ppr_oracle(edges: list[tuple[int, int]], vertices: list[int],
+               teleport: dict[int, float], damping: float = 0.85,
+               iterations: int = 10) -> dict[int, float]:
+    """Fixed-iteration personalized PageRank mirroring
+    pagerank(teleport=...): r0 = T, r_{t+1} = (1-d)T + d(msg + dang·T),
+    T normalized over the given teleport weights."""
+    ids = sorted(set(vertices))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out: list[list[int]] = [[] for _ in range(n)]
+    for s, d in set(edges):
+        if s != d:
+            out[idx[s]].append(idx[d])
+    outdeg = np.array([len(o) for o in out], dtype=np.float64)
+    # normalize over seeds PRESENT in the graph (pagerank._with_teleport)
+    tot = sum(w for v, w in teleport.items() if v in idx)
+    t = np.zeros(n)
+    for v, w in teleport.items():
+        if v in idx:
+            t[idx[v]] = w / tot
+    src_i = np.array([i for i in range(n) for _ in out[i]], dtype=np.int64)
+    dst_i = np.array([j for i in range(n) for j in out[i]], dtype=np.int64)
+    dangling = outdeg == 0
+    r = t.copy()
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        if len(src_i):
+            np.add.at(contrib, dst_i, r[src_i] / outdeg[src_i])
+        dang_mass = r[dangling].sum()
+        r = (1.0 - damping) * t + damping * (contrib + dang_mass * t)
+    return {v: float(r[idx[v]]) for v in ids}

@@ -594,8 +594,13 @@ CN_HOT_CAP = 64
 
 
 def _q_common_neighbors(spark, sf):
+    # cn (exact int) + ra (grid-exact resource allocation) are oracled;
+    # aa divides by ln(deg) — transcendental last-bit not guaranteed
+    # across engines — so it stays pytest-tolerance-covered and is
+    # excluded here
     return common_neighbors_topk(_co_edges(spark, sf), k=CN_K,
-                                 hot_cap=CN_HOT_CAP)
+                                 hot_cap=CN_HOT_CAP).select(
+        "a", "b", "cn", "ra", "rn")
 
 
 def _q_scc(spark, sf):
@@ -2220,16 +2225,17 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": (
             f"WITH {E_SQL}, {SYM_SQL}, "
             "degw AS MATERIALIZED (SELECT u AS w, count(*) AS d FROM sym GROUP BY u), "
-            "ctr AS MATERIALIZED (SELECT s.v AS w, s.u AS x FROM sym s "
+            "ctr AS MATERIALIZED (SELECT s.v AS w, s.u AS x, degw.d AS d FROM sym s "
             f"JOIN degw ON s.v = degw.w WHERE degw.d <= {CN_HOT_CAP}), "
             "p AS MATERIALIZED (SELECT c1.x AS a, c2.x AS b, "
-            "CAST(count(*) AS BIGINT) AS cn FROM ctr c1 "
+            "CAST(count(*) AS BIGINT) AS cn, "
+            f"sum(round(1.0 / c1.d * {_G30}) / {_G30}) AS ra FROM ctr c1 "
             "JOIN ctr c2 ON c1.w = c2.w AND c1.x < c2.x GROUP BY c1.x, c2.x), "
-            "np AS (SELECT p.a, p.b, p.cn FROM p LEFT JOIN e "
+            "np AS (SELECT p.a, p.b, p.cn, p.ra FROM p LEFT JOIN e "
             "ON p.a = e.src AND p.b = e.dst WHERE e.src IS NULL), "
-            "r AS (SELECT a, b, cn, row_number() OVER "
+            "r AS (SELECT a, b, cn, ra, row_number() OVER "
             "(PARTITION BY a ORDER BY cn DESC, b ASC) AS rn FROM np) "
-            f"SELECT a, b, cn, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {CN_K}"
+            f"SELECT a, b, cn, ra, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= {CN_K}"
         ),
         # pii_scrub: deterministic contact-tail augmentation (the corpus
         # has no natural PII), then count + mask with backslash-free

@@ -1,10 +1,26 @@
-"""Link prediction: common-neighbor top-k candidate pairs.
+"""Link prediction: common-neighbor / resource-allocation / Adamic-Adar
+top-k candidate pairs.
 
-The classic structural link predictor (Liben-Nowell & Kleinberg, CIKM'03):
-rank non-adjacent vertex pairs by |Γ(a) ∩ Γ(b)|. On a web graph this
-surfaces pages that SHOULD be linked (related-page suggestion, spam-farm
-stitching detection). Scores are pure integer counts, so the oracle is
-exact with no float policy at all.
+The classic structural link predictors (Liben-Nowell & Kleinberg,
+CIKM'03): rank non-adjacent vertex pairs (a, b) by
+
+    CN(a,b) = |Γ(a) ∩ Γ(b)|                      (common neighbors)
+    RA(a,b) = Σ_{w ∈ Γ(a)∩Γ(b)} 1/deg(w)         (resource allocation,
+                                                  Zhou/Lü/Zhang EPJ-B'09)
+    AA(a,b) = Σ_{w ∈ Γ(a)∩Γ(b)} 1/ln(deg(w))     (Adamic-Adar)
+
+On a web graph this surfaces pages that SHOULD be linked (related-page
+suggestion, spam-farm stitching detection); RA/AA down-weight stop-hub
+centers the way idf down-weights stop-words.
+
+Float policy: CN is a pure integer count (exact, no policy). RA terms
+1/deg(w) are QUANTIZED to the 2^-30 binary grid before summing — grid
+multiples sum exactly in doubles, so the aggregate is order-independent
+and the SQL oracle matches bit-for-bit (the hits.py discipline). AA
+terms divide by ln(deg) — a transcendental whose last bit is not
+guaranteed identical across libm implementations — so AA is quantized
+the same way but verified by the pytest oracle at tolerance, not by the
+bit-exact SQL gate.
 
 Scale shape — the wedge-enumeration problem has the same hub hazard as
 triangle counting: a common neighbor w contributes deg(w)² candidate
@@ -14,11 +30,10 @@ applied to wedge centers): drop centers with deg(w) > hot_cap BEFORE the
 self-join, bounding per-center fan-out at hot_cap² — the cap is part of
 the operator's declared semantics (exactly reproduced by the oracle),
 not a silent truncation, and mirrors how production similarity systems
-treat stop-hubs (a w linked by everything carries no signal anyway —
-inverse-frequency logic, same reason idf down-weights stop-words). The
-candidate aggregation partial-combines map-side; the final per-source
-top-k compiles to WindowGroupLimit (rank pushed below the shuffle —
-map-side cut, the neighbor_sample_2hop pattern).
+treat stop-hubs (a w linked by everything carries no signal anyway).
+The candidate aggregation partial-combines map-side; the final
+per-source top-k compiles to WindowGroupLimit (rank pushed below the
+shuffle — map-side cut, the neighbor_sample_2hop pattern).
 """
 
 from __future__ import annotations
@@ -27,16 +42,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+GRID = float(1 << 30)  # 2^-30 binary grid (hits.py policy)
+
+
+def _quant(c):
+    return F.round(c * F.lit(GRID)) / F.lit(GRID)
+
 
 def common_neighbors_topk(
     edges: DataFrame,
     k: int = 5,
     hot_cap: int | None = None,
+    rank_by: str = "cn",
 ) -> DataFrame:
-    """edges(src, dst) treated undirected → (a, b, cn, rn): for each
-    vertex a, its top-k non-adjacent partners b (a < b) by common-neighbor
-    count cn, ranked rn = 1..k by (cn desc, b asc). Wedge centers with
-    degree > hot_cap are excluded (declared cap semantics; None = exact)."""
+    """edges(src, dst) treated undirected → (a, b, cn, ra, aa, rn): for
+    each vertex a, its top-k non-adjacent partners b (a < b) ranked
+    rn = 1..k by (`rank_by` desc, b asc). `rank_by` ∈ {cn, ra, aa}.
+    Wedge centers with degree > hot_cap are excluded (declared cap
+    semantics; None = exact); deg(w) in the RA/AA terms is the FULL
+    degree, measured before the cap."""
+    if rank_by not in ("cn", "ra", "aa"):
+        raise ValueError(f"rank_by must be cn|ra|aa, got {rank_by!r}")
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -45,24 +71,28 @@ def common_neighbors_topk(
         .distinct()
     )
     sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    adj = sym.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    deg = sym.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("_d"))
+    adj = sym.select(F.col("v").alias("w"), F.col("u").alias("x")).join(deg, "w")
     if hot_cap is not None:
-        deg = sym.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("_d"))
-        adj = adj.join(deg.where(F.col("_d") <= int(hot_cap)).select("w"), "w")
-    a1 = adj.select("w", F.col("x").alias("a"))
+        adj = adj.where(F.col("_d") <= int(hot_cap))
+    a1 = adj.select("w", F.col("x").alias("a"), "_d")
     a2 = adj.select("w", F.col("x").alias("b"))
     cn = (
         a1.join(a2, "w")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("cn"))
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(_quant(F.lit(1.0) / F.col("_d"))).alias("ra"),
+            F.sum(_quant(F.lit(1.0) / F.log(F.col("_d")))).alias("aa"),
+        )
     )
     cand = cn.join(
         und.select(F.col("u").alias("a"), F.col("v").alias("b")),
         ["a", "b"],
         "left_anti",
     )
-    win = Window.partitionBy("a").orderBy(F.desc("cn"), F.asc("b"))
+    win = Window.partitionBy("a").orderBy(F.desc(rank_by), F.asc("b"))
     return (
         cand.withColumn("rn", F.row_number().over(win).cast("long"))
         .where(F.col("rn") <= int(k))

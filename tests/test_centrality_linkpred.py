@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import math
 import random
 from collections import defaultdict
 
@@ -282,3 +283,30 @@ def test_densest_finds_planted_clique(spark):
     res = densest_subgraph(spark, df)
     assert {r["id"] for r in res.vertices.collect()} == set(range(100, 106))
     assert res.best_density == 15 / 6
+
+
+def test_linkpred_ra_aa_scores(spark):
+    # ra: grid-exact (bit-identical); aa: ln-based, tolerance
+    edges = _random_digraph(11, 35, 100)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = common_neighbors_topk(e, k=4, hot_cap=None, rank_by="ra").collect()
+    und = _und(edges)
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    G = float(1 << 30)
+    q = lambda x: math.floor(x * G + 0.5) / G  # HALF_UP on the grid
+    for r in rows:
+        common = adj[r["a"]] & adj[r["b"]]
+        assert r["cn"] == len(common)
+        assert r["ra"] == sum(q(1.0 / len(adj[w])) for w in sorted(common))
+        want_aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+        assert r["aa"] == pytest.approx(want_aa, abs=len(common) * 2 / G)
+    # rank_by='ra': rn ordering follows ra desc, b asc within each a
+    by_a = defaultdict(list)
+    for r in rows:
+        by_a[r["a"]].append((r["rn"], -r["ra"], r["b"]))
+    for a, lst in by_a.items():
+        assert [t[0] for t in sorted(lst)] == sorted(t[0] for t in lst)
+        assert sorted(lst) == sorted(lst, key=lambda t: (t[0],))

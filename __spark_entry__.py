@@ -671,11 +671,18 @@ def _q_minhash_lsh_pairs(spark, sf):
     return lsh_candidate_pairs(lsh_bands(sig, 8, 4))
 
 
-def _q_jaccard_pairs(spark, sf):
-    sh = _docs_sh(spark, sf)
-    sig = minhash_signatures(sh, num_hashes=8)
-    cands = lsh_candidate_pairs(lsh_bands(sig, 8, 4))
-    return jaccard_verify(cands, sh, threshold=0.5)
+SPAN_N = 5  # n-gram span length for the repeated-span dedup query
+
+
+def _q_span_dup_stats(spark, sf):
+    # substring-level dedup profile (Lee et al. ACL'22 style): per-doc
+    # repeated-n-gram stats. Replaces the jaccard_pairs slot — its whole
+    # pipeline (minhash -> LSH bands -> candidates -> jaccard verify)
+    # runs INSIDE dedup_groups, which stays oracled (VERDICT r4 #2
+    # rotation rule); jaccard_verify keeps direct pytest coverage.
+    from pargraph_spark.operators.spans import span_dup_stats
+
+    return span_dup_stats(_t(spark, sf, "documents"), n=SPAN_N)
 
 
 def _q_dedup_groups(spark, sf):
@@ -933,7 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
-        "jaccard_pairs": _q_jaccard_pairs,
+        "span_dup_stats": _q_span_dup_stats,
         "dedup_groups": _q_dedup_groups,
         "media_features": _q_media_features,
         "cosine_topk": _q_cosine_topk,
@@ -2287,18 +2294,23 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": (
             f"WITH {DOCS_NORM_SQL}, {_MINHASH_PRELUDE} SELECT a, b FROM pairs"
         ),
-        "jaccard_pairs": (
-            f"WITH {DOCS_NORM_SQL}, {_MINHASH_PRELUDE}, "
-            "sz AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id), "
-            "inter AS MATERIALIZED (SELECT p.a, p.b, count(*) AS i FROM pairs p "
-            "JOIN sh sa ON sa.id = p.a JOIN sh sb ON sb.id = p.b "
-            "AND sa.shingle = sb.shingle GROUP BY p.a, p.b) "
-            "SELECT p.a, p.b, CAST(coalesce(i.i, 0) AS DOUBLE) / "
-            "CAST(za.sz + zb.sz - coalesce(i.i, 0) AS DOUBLE) AS jaccard "
-            "FROM pairs p LEFT JOIN inter i ON p.a = i.a AND p.b = i.b "
-            "JOIN sz za ON za.id = p.a JOIN sz zb ON zb.id = p.b "
-            "WHERE CAST(coalesce(i.i, 0) AS DOUBLE) / "
-            "CAST(za.sz + zb.sz - coalesce(i.i, 0) AS DOUBLE) >= 0.5"
+        # jaccard_pairs rotated out: its full pipeline runs inside
+        # dedup_groups (still oracled below); span_dup_stats takes the slot
+        "span_dup_stats": (
+            f"WITH {DOCS_NORM_SQL}, "
+            "sp AS MATERIALIZED (SELECT doc_id, u.i AS pos, "
+            f"md5(array_to_string(toks[u.i:u.i+{SPAN_N}-1], ' ')) AS span "
+            f"FROM t, unnest(generate_series(1, len(toks) - {SPAN_N} + 1)) AS u(i) "
+            f"WHERE len(toks) >= {SPAN_N}), "
+            "c AS MATERIALIZED (SELECT span, count(*) AS c FROM sp GROUP BY span), "
+            "pd AS (SELECT sp.doc_id, count(*) AS ns, "
+            "sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS nd "
+            "FROM sp JOIN c ON sp.span = c.span GROUP BY sp.doc_id) "
+            "SELECT t.doc_id, CAST(coalesce(pd.ns, 0) AS BIGINT) AS n_spans, "
+            "CAST(coalesce(pd.nd, 0) AS BIGINT) AS n_dup_spans, "
+            "CASE WHEN coalesce(pd.ns, 0) > 0 "
+            "THEN CAST(pd.nd AS DOUBLE) / CAST(pd.ns AS DOUBLE) ELSE 0.0 END AS dup_frac "
+            "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id"
         ),
         "dedup_groups": (
             # verified (jaccard >= 0.5) pair graph closed into components,

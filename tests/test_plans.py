@@ -367,3 +367,44 @@ def test_modularity_broadcasts_edge_count(spark):
     # the 1-row m aggregate enters as a broadcast (no driver collect)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_betweenness_forward_level_probes_copartitioned_edges(spark):
+    # betweenness.py scale contract: every forward/backward level joins
+    # on e.src against the ONE persisted src-partitioned edge copy, so no
+    # level re-exchanges the E-scale table (frontier state shuffles at
+    # its own (s,v) scale — that is the declared cost).
+    e = (
+        em._di_edges(spark, SF)
+        .where(F.col("src") != F.col("dst")).distinct()
+        .repartition(8, "src").persist()
+    )
+    e.count()
+    prev = (
+        e.select(F.col("src").alias("s"), F.col("src").alias("v"),
+                 F.lit(1).cast("long").alias("sigma"))
+        .limit(50).repartition(8, "v").localCheckpoint(eager=True)
+    )
+    msg = (
+        e.join(prev, e["src"] == prev["v"])
+        .groupBy(prev["s"].alias("s"), e["dst"].alias("v"))
+        .agg(F.sum("sigma").alias("sigma"))
+    )
+    plan = _plan(msg)
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange hashpartitioning(src" not in prefix, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    e.unpersist()
+
+
+def test_span_extraction_stays_jvm_and_partial_combines(spark):
+    # spans.py: window hashing is a JVM projection (no Python eval in the
+    # plan) and the corpus-frequency aggregate partial-combines map-side
+    from pargraph_spark.operators.spans import repeated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repeated_spans(docs, n=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Generate explode" in plan, plan

@@ -196,3 +196,122 @@ def random_walks(
         out = out.unionByName(nxt)
         cur = nxt
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_walks: int,
+    length: int,
+    p_num: int = 1,
+    p_den: int = 1,
+    q_num: int = 1,
+    q_den: int = 1,
+    salt: str = "n2v",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic node2vec-biased walk corpus (Grover & Leskovec,
+    KDD'16): the 2nd-order walk whose step weight at vertex v (previous
+    vertex u, candidate w) is 1/p if w == u (return), 1 if w ∈ Γ(u)
+    (BFS-ish), 1/q otherwise (DFS-ish). p and q are RATIONALS
+    (p_num/p_den, q_num/q_den) so the three weights clear to small
+    integers — w_ret = p_den·q_num, w_mid = p_num·q_num,
+    w_far = p_num·q_den — and proportional sampling becomes exact:
+
+      each candidate is REPLICATED weight-many times (j = 0..weight-1)
+      and the step takes the argmin of md5("salt|seed|walk|t|dst|j")
+      over all replicas — i.i.d. uniform hashes make every replica
+      equally likely, so P(dst) ∝ weight EXACTLY, while the whole corpus
+      stays a pure function of (graph, seeds, params, salt), bit-equal
+      in any engine with md5 (the random_walks discipline extended to
+      weighted draws; no floats anywhere).
+
+    Keep the weight integers small (the replicate fan-out is
+    max(w_ret, w_mid, w_far) per candidate row — e.g. p=4, q=1/4 gives
+    1/4/16). Step 1 has no previous vertex and draws uniformly.
+
+    Plan shape per step: candidates probe the src-partitioned persisted
+    edge copy in place; the Γ(prev) membership check probes a second
+    copy persisted on (src, dst) — both E-scale tables stay put, only
+    walk-scale state shuffles. The weighted argmin compiles to
+    WindowGroupLimit (map-side top-1 per walk). Output and stopping
+    match random_walks: (seed_id, walk, step, vertex), sinks end early;
+    pass a symmetrized table for undirected semantics (Γ(u) membership
+    follows the given edge direction).
+    """
+    from pyspark.sql import Window
+
+    if num_walks < 1 or length < 0:
+        raise ValueError(f"need num_walks >= 1, length >= 0, got {num_walks=}, {length=}")
+    if min(p_num, p_den, q_num, q_den) < 1:
+        raise ValueError("p and q must be positive rationals (all parts >= 1)")
+    w_ret = p_den * q_num
+    w_mid = p_num * q_num
+    w_far = p_num * q_den
+    spark = edges.sparkSession
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").distinct().repartition(P, "src").persist()
+    e.count()
+    # membership probe copy: co-partitioned on the (src, dst) join key
+    e_pairs = (
+        e.select(F.col("src").alias("_pu"), F.col("dst").alias("_pd"),
+                 F.lit(1).alias("_mid"))
+        .repartition(P, "_pu", "_pd").persist()
+    )
+    e_pairs.count()
+    walks = seeds.select(F.col("id").alias("seed_id")).distinct().crossJoin(
+        F.broadcast(
+            spark.range(num_walks).select(F.col("id").cast("int").alias("walk"))
+        )
+    )
+    cur = walks.select(
+        "seed_id", "walk", F.lit(0).cast("int").alias("step"),
+        F.col("seed_id").alias("vertex"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    out = cur.select("seed_id", "walk", "step", "vertex")
+    w = Window.partitionBy("seed_id", "walk").orderBy("_rk", "dst", "_j")
+    for t in range(1, length + 1):
+        cand = (
+            cur.join(e.withColumnRenamed("src", "vertex"), "vertex")
+            .join(
+                e_pairs,
+                (F.col("prev") == F.col("_pu")) & (F.col("dst") == F.col("_pd")),
+                "left",
+            )
+            .select(
+                "seed_id", "walk", "dst", "prev",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("dst") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("_mid").isNotNull(), F.lit(w_mid))
+                .otherwise(F.lit(w_far))
+                .alias("_w"),
+            )
+        )
+        rep = cand.select(
+            "seed_id", "walk", "dst",
+            F.explode(F.expr("sequence(0, _w - 1)")).alias("_j"),
+        )
+        rank_key = F.md5(
+            F.concat_ws(
+                "|", F.lit(salt), F.col("seed_id").cast("string"),
+                F.col("walk").cast("string"), F.lit(str(t)),
+                F.col("dst").cast("string"), F.col("_j").cast("string"),
+            ).cast("binary")
+        )
+        nxt = (
+            rep.select("seed_id", "walk", "dst", "_j", rank_key.alias("_rk"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "seed_id", "walk", F.lit(t).cast("int").alias("step"),
+                F.col("dst").alias("vertex"),
+            )
+        )
+        out = out.unionByName(nxt)
+        # carry the new prev for the next step's bias classification
+        cur = nxt.join(
+            cur.select("seed_id", "walk", F.col("vertex").alias("_pv")),
+            ["seed_id", "walk"],
+        ).select("seed_id", "walk", "step", "vertex", F.col("_pv").alias("prev"))
+    return out

@@ -716,12 +716,26 @@ def _q_media_features(spark, sf):
     return extract_binary_features(media)
 
 
-def _q_cosine_topk(spark, sf):
+PQ_M = 4        # subspaces (64-dim -> 16-dim subvectors)
+PQ_K = 16       # codes per subspace codebook
+PQ_ITERS = 2    # fixed Lloyd iterations per subspace
+PQ_TOPK = 10
+PQ_Q_MOD = 37   # queries: vec_id % 37 == 0
+
+
+def _q_pq_adc_topk(spark, sf):
+    # product-quantization ADC search (Jegou TPAMI'11): train m per-
+    # subspace codebooks, encode the corpus to m codes, score queries by
+    # table lookups. Rotated into the cosine_topk slot — the brute
+    # cosine ranker keeps pytest + bench coverage and the ann_lsh /
+    # ann_ivf oracles still pin the similarity family (VERDICT r4 #2).
+    from pargraph_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
     emb = _t(spark, sf, "embeddings")
-    out = cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
-    return out.select(
-        "query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos6")
-    )
+    model = pq_train(emb, m=PQ_M, k=PQ_K, iterations=PQ_ITERS)
+    codes = pq_encode(emb, model)
+    queries = emb.where(F.col("vec_id") % PQ_Q_MOD == 0)
+    return pq_adc_topk(codes, queries, model, topk=PQ_TOPK)
 
 
 BETWEENNESS_SEED_MOD = 97  # betweenness sources: id % 97 == 0
@@ -953,7 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": _q_span_dup_stats,
         "dedup_groups": _q_dedup_groups,
         "media_features": _q_media_features,
-        "cosine_topk": _q_cosine_topk,
+        "pq_adc_topk": _q_pq_adc_topk,
         "ann_lsh": _q_ann_lsh,
         "betweenness_h3": _q_betweenness,
         "modularity_lpa20": _q_modularity,
@@ -2103,6 +2117,67 @@ WHERE rn <= 5
 """
 
 
+def _pq_sql() -> str:
+    """Unrolled PQ train/encode/ADC mirroring operators.pq: per-subspace
+    L2 Lloyd's (distances + centroid means quantized at 12 decimals,
+    argmin ties -> smaller code), ADC tables quantized at 12, final
+    ranking on round(score, 9) with id tiebreak."""
+    m_, k, iters, q = PQ_M, PQ_K, PQ_ITERS, 12
+    dsub = 64 // m_
+    m = "AS MATERIALIZED"
+    parts = [
+        _EMB_U_SQL,
+        # subspace/pos split of the component stream (i is 1-based)
+        f"us {m} (SELECT vec_id, CAST((i - 1) // {dsub} AS INTEGER) AS j, "
+        f"CAST((i - 1) % {dsub} AS INTEGER) AS pos, v FROM u)",
+        f"seeds {m} (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))",
+        f"cb0 {m} (SELECT us.j, s.c, us.pos, round(us.v, {q}) AS x "
+        "FROM seeds s JOIN us ON us.vec_id = s.vec_id)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"d{t} {m} (SELECT us.vec_id, cb.j, cb.c, "
+            f"round(sum((us.v - cb.x) * (us.v - cb.x)), {q}) AS d2 "
+            f"FROM us JOIN cb{t} cb ON cb.j = us.j AND cb.pos = us.pos "
+            "GROUP BY us.vec_id, cb.j, cb.c)"
+        )
+        parts.append(
+            f"a{t} {m} (SELECT vec_id, j, c FROM ("
+            f"SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j "
+            f"ORDER BY d2 ASC, c ASC) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        if t < iters - 1:
+            parts.append(
+                f"mm{t} {m} (SELECT a.j, a.c, us.pos, round(avg(us.v), {q}) AS x "
+                f"FROM a{t} a JOIN us ON us.vec_id = a.vec_id AND us.j = a.j "
+                "GROUP BY a.j, a.c, us.pos)"
+            )
+            parts.append(
+                f"cb{t + 1} {m} (SELECT p.j, p.c, p.pos, coalesce(mm.x, p.x) AS x "
+                f"FROM cb{t} p LEFT JOIN mm{t} mm "
+                "ON mm.j = p.j AND mm.c = p.c AND mm.pos = p.pos)"
+            )
+    last = iters - 1
+    parts.append(
+        f"qt {m} (SELECT us.vec_id AS qid, cb.j, cb.c, "
+        f"round(sum(us.v * cb.x), {q}) AS ip "
+        f"FROM us JOIN cb{last} cb ON cb.j = us.j AND cb.pos = us.pos "
+        f"WHERE us.vec_id % {PQ_Q_MOD} = 0 GROUP BY us.vec_id, cb.j, cb.c)"
+    )
+    parts.append(
+        f"sc {m} (SELECT qt.qid, a.vec_id AS id, round(sum(qt.ip), 9) AS score9 "
+        f"FROM a{last} a JOIN qt ON qt.j = a.j AND qt.c = a.c "
+        "GROUP BY qt.qid, a.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT qid, id, score9, CAST(rn AS BIGINT) AS rn FROM ("
+        "SELECT qid, id, score9, row_number() OVER (PARTITION BY qid "
+        f"ORDER BY score9 DESC, id ASC) AS rn FROM sc) WHERE rn <= {PQ_TOPK}"
+    )
+
+
 def _kmeans_sql() -> str:
     """Unrolled Lloyd iterations mirroring operators.clustering (quantized
     similarities and centroids at 12 decimals — float noise cannot flip an
@@ -2391,7 +2466,8 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS digest, "
             "lower(substr(hex(encode(text)), 1, 16)) AS head_hex FROM documents"
         ),
-        "cosine_topk": _COSINE_SQL,
+        # cosine_topk rotated out (pytest + bench keep it); PQ takes the slot
+        "pq_adc_topk": _pq_sql(),
         # regex_token_count folded into doc_stats (n_bpe_tokens column)
         "betweenness_h3": _betweenness_sql(BETWEENNESS_H),
         "modularity_lpa20": _modularity_sql(20),

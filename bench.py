@@ -52,6 +52,7 @@ def main() -> None:
     from pargraph_spark.operators.labelprop import label_propagation
     from pargraph_spark.operators.pagerank import pagerank
     from pargraph_spark.operators.reach import kmv_reach
+    from pargraph_spark.operators.betweenness import betweenness
     from pargraph_spark.operators.scc import strongly_connected_components
     from pargraph_spark.operators.similarity import (
         cosine_near_dup_bucketed,
@@ -149,6 +150,13 @@ def main() -> None:
         # directed fixture (trim + delta-frontier coloring/backward sweep)
         ("scc", lambda: strongly_connected_components(
             spark, di_edges, num_partitions=shuffle).components.count()),
+        # round-5 flagship: sampled-source bounded-distance Brandes
+        # betweenness (grid-exact deltas); ~1/997 of vertices as sources
+        ("betweenness", lambda: betweenness(
+            spark, di_edges,
+            sources=di_edges.select(F.col("src").alias("id")).where(
+                F.col("id") % 997 == 0).distinct(),
+            max_depth=3, num_partitions=shuffle).scores.count()),
     ]
 
     for _trial in range(trials):

@@ -27,7 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("job", choices=["pagerank", "components", "labels",
                                     "triangles", "kcore", "corenums",
                                     "truss", "trussnums", "scc", "bowtie",
-                                    "katz", "communities",
+                                    "katz", "communities", "betweenness",
+                                    "spammass", "densest",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -163,6 +164,48 @@ def main(argv: list[str] | None = None) -> int:
         summary["communities"] = {"iterations": lp.iterations,
                                   "n_communities": row["n_communities"],
                                   "modularity": float(row["modularityq"])}
+    if args.job == "betweenness":
+        from pyspark.sql import functions as F
+
+        from pargraph_spark.operators.betweenness import betweenness
+
+        # 1-in-k deterministic source sample (k reuses --k; 1 = exact)
+        seeds = graph.vertices.select("id").where(
+            F.col("id") % max(args.k, 1) == 0)
+        bc = betweenness(spark, graph.edges, sources=seeds,
+                         max_depth=max(args.hops, 1),
+                         num_partitions=args.partitions)
+        bc.scores.write.mode("overwrite").parquet(
+            f"{args.output}/betweenness.parquet")
+        summary["betweenness"] = {"max_depth": bc.max_depth,
+                                  "n_sources": bc.n_sources}
+    if args.job == "spammass":
+        from pyspark.sql import functions as F
+
+        from pargraph_spark.operators.trust import spam_mass
+
+        # trusted seeds: 1-in-k of the vertex dictionary (callers with a
+        # curated seed list should use the operator API directly)
+        seeds = graph.vertices.select("id").where(
+            F.col("id") % max(args.k, 1) == 0)
+        sm = spam_mass(spark, graph.edges, seeds, damping=args.damping,
+                       iterations=max(args.hops, 1) * 5,
+                       num_partitions=args.partitions)
+        sm.scores.write.mode("overwrite").parquet(
+            f"{args.output}/spam_mass.parquet")
+        summary["spammass"] = {"iterations": sm.iterations}
+    if args.job == "densest":
+        from pargraph_spark.operators.densest import densest_subgraph
+
+        dr = densest_subgraph(spark, graph.edges,
+                              num_partitions=args.partitions)
+        dr.vertices.write.mode("overwrite").parquet(
+            f"{args.output}/densest_vertices.parquet")
+        dr.stats.write.mode("overwrite").parquet(
+            f"{args.output}/densest_stats.parquet")
+        summary["densest"] = {"best_round": dr.best_round,
+                              "best_density": dr.best_density,
+                              "rounds": dr.rounds}
     if args.job == "reach":
         from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
 

@@ -152,3 +152,27 @@ def test_cli_scc_bowtie_katz_communities_jobs(tmp_path):
     assert os.path.isdir(str(tmp_path / "bowtie" / "bowtie.parquet"))
     assert os.path.isdir(str(tmp_path / "katz" / "katz.parquet"))
     assert os.path.isdir(str(tmp_path / "communities" / "labels.parquet"))
+
+
+def test_cli_betweenness_spammass_densest_jobs(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    for job, extra in (("betweenness", ["--k", "5", "--hops", "2"]),
+                       ("spammass", ["--k", "7", "--hops", "1"]),
+                       ("densest", [])):
+        out = str(tmp_path / job)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pargraph_spark.cli", job,
+             "--synth-pages", "300", "--output", out,
+             "--cores", "2", "--partitions", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert job in summary, summary
+    assert os.path.isdir(str(tmp_path / "betweenness" / "betweenness.parquet"))
+    assert os.path.isdir(str(tmp_path / "spammass" / "spam_mass.parquet"))
+    assert os.path.isdir(str(tmp_path / "densest" / "densest_vertices.parquet"))

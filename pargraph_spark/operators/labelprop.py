@@ -143,3 +143,92 @@ def label_propagation(
     sym.unpersist()
     all_vertices.unpersist()
     return LabelPropResult(labels, it, converged, metrics)
+
+
+def seeded_label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    weight_col: str | None = None,
+) -> LabelPropResult:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    hard-clamp variant): seed vertices carry fixed labels (spam/ham,
+    language, topic); every other vertex takes the majority label of its
+    LABELED neighbors each round (vote = edge weight, ties -> MIN label)
+    and stays unlabeled (NULL) until a labeled neighbor appears. Seeds
+    never change — the clamp is what makes this classification rather
+    than community detection, and it is the label-space companion of
+    trust.py's TrustRank (propagate editorial judgments instead of
+    numeric trust mass).
+
+    Determinism matches label_propagation: one min(struct(-cnt, label))
+    aggregate per round, integer vote sums, so the unrolled SQL oracle is
+    exact. Plan shape is identical too — the symmetric edge table is
+    persisted partitioned on the probe key u and probed in place; only
+    the (id, label) vertex state shuffles per round.
+
+    `seeds`: (id, label). Returns labels over the full vertex set with
+    NULL for never-reached vertices."""
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
+    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w.alias("w"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg((F.max("w") if weight_col is None else F.sum("w")).alias("w"))
+        .repartition(P, "u")
+        .persist()
+    )
+    n_sym = sym.count()
+    all_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(seeds.select("id"))
+        .distinct()
+    )
+    sd = seeds.select("id", F.col("label").cast("long").alias("_seed"))
+    base = all_vertices.join(sd, "id", "left")
+    labels = base.select(
+        "id", F.col("_seed").alias("label")
+    ).localCheckpoint(eager=True)
+    metrics = JobMetrics("seeded_labelprop")
+    converged = False
+    it = 0
+    while it < max_iter:
+        it += 1
+        t0 = time.monotonic()
+        nbr = (
+            sym.join(labels.where(F.col("label").isNotNull()),
+                     sym["u"] == F.col("id"))
+            .select(sym["v"].alias("id"), F.col("label"), sym["w"])
+        )
+        counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
+        best = counted.groupBy("id").agg(
+            F.min(F.struct((-F.col("cnt")).alias("negc"),
+                           F.col("label").alias("l"))).alias("b")
+        ).select("id", F.col("b.l").alias("new_label"))
+        new_labels = (
+            base.join(labels.select("id", F.col("label").alias("_old")), "id")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                # clamp beats vote beats carry-forward
+                F.coalesce("_seed", "new_label", "_old").alias("label"),
+                (~F.coalesce("_seed", "new_label", "_old").eqNullSafe(F.col("_old"))).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        old = labels
+        labels = new_labels.drop("_chg")
+        old.unpersist()
+        metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0,
+                                    n_sym, float(changed)))
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return LabelPropResult(labels, it, converged, metrics)

@@ -104,3 +104,77 @@ def test_weighted_lpa_heavy_edge_dominates(spark):
                             weight_col="w")
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     assert got[5] == 0
+
+
+def _slpa_oracle(edges, seeds, max_iter):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in set(edges):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    verts = set(adj) | {v for vs in adj.values() for v in vs} | set(seeds)
+    labels = {v: seeds.get(v) for v in verts}
+    it, converged = 0, False
+    while it < max_iter:
+        it += 1
+        new = {}
+        for v in verts:
+            if v in seeds:
+                new[v] = seeds[v]
+                continue
+            votes = defaultdict(int)
+            for u in adj[v]:
+                if labels[u] is not None:
+                    votes[labels[u]] += 1
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[v] = labels[v]
+        if new == labels:
+            labels, converged = new, True
+            break
+        labels = new
+    return labels, it, converged
+
+
+def test_seeded_labelprop_matches_oracle(spark):
+    import random
+
+    from pargraph_spark.operators.labelprop import seeded_label_propagation
+
+    rng = random.Random(17)
+    n, m = 40, 90
+    edges = [(a, b) for a, b in {(rng.randrange(n), rng.randrange(n))
+                                 for _ in range(m)} if a != b]
+    seeds = {0: 100, 5: 200, 9: 100}
+    res = seeded_label_propagation(
+        spark,
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame(list(seeds.items()), "id long, label long"),
+        max_iter=8, num_partitions=4,
+    )
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    want, it, conv = _slpa_oracle(edges, seeds, 8)
+    assert got == want
+    assert (res.iterations, res.converged) == (it, conv)
+    # clamp held
+    for v, l in seeds.items():
+        assert got[v] == l
+
+
+def test_seeded_labelprop_disconnected_stays_null(spark):
+    from pargraph_spark.operators.labelprop import seeded_label_propagation
+
+    # two components; seeds only in the first -> second stays NULL
+    edges = [(1, 2), (2, 3), (10, 11)]
+    res = seeded_label_propagation(
+        spark,
+        spark.createDataFrame(edges, "src long, dst long"),
+        spark.createDataFrame([(1, 7)], "id long, label long"),
+        max_iter=6, num_partitions=4,
+    )
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == {1: 7, 2: 7, 3: 7, 10: None, 11: None}
+    assert res.converged

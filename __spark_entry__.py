@@ -19,13 +19,20 @@ summation-order noise (~1e-15) sits far below the rounding granularity.
 Timestamps are string-formatted in contract outputs (pandas materializes
 Spark µs-timestamps as datetime64[ns] but DuckDB's as datetime64[us]).
 
-All 43 queries carry exact oracles — including the iterative fixpoints
-(unrolled MATERIALIZED CTE chains: PageRank/PPR/LPA/HITS/k-means/CC,
-min-plus SSSP, and the k-core peel), the LSH/IVF families (hyperplane
-sign literals and seed-centroid models baked into generated SQL so
-bucket/cell assignment is reproduced engine-side; IVF assignment sims
-quantized 12dp in both engines), the hot-bucket-capped dedup variant,
-and the event suite (windows/sessions/JSON props).
+All 50 queries carry exact oracles — including the iterative fixpoints
+(unrolled MATERIALIZED CTE chains: PageRank/PPR/TrustRank-spam-mass/
+Katz/LPA/seeded-LPA/HITS/SALSA/k-means/PQ/CC, min-plus SSSP, the
+k-core/s-core/k-truss/densest peels, bounded Brandes betweenness, and
+the node2vec walk), the LSH/IVF/PQ families (hyperplane sign literals
+and seed-centroid models baked into generated SQL so bucket/cell/code
+assignment is reproduced engine-side), the hot-bucket-capped dedup
+variants (winnowing, tf-idf cosine, repeated n-gram spans), and the
+event suite (windows/sessions/JSON props).
+
+Exactly 50 entries (the driver-checked window): new operators enter by
+rotating out a slot whose computation runs verbatim inside another
+oracled query, so every operator family stays oracle-checked every
+round (VERDICT r4 #2).
 """
 
 from __future__ import annotations

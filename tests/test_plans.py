@@ -408,3 +408,24 @@ def test_span_extraction_stays_jvm_and_partial_combines(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Generate explode" in plan, plan
+
+
+def test_pq_adc_topk_is_window_group_limit(spark):
+    # pq.py: the per-query top-k must push below the shuffle as a
+    # WindowGroupLimit (map-side cut), and scoring is Arrow-batched
+    # (MapInPandas), never row-at-a-time Python
+    import numpy as np
+
+    from pargraph_spark.operators.pq import PQModel, pq_adc_topk
+
+    codes = spark.createDataFrame(
+        [(i, [i % 4, (i + 1) % 4, 0, 1]) for i in range(50)],
+        "id long, codes array<int>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.1] * 64)], "vec_id long, embedding array<double>"
+    )
+    model = PQModel(np.zeros((4, 4, 16)), 4, 4, 64)
+    plan = _plan(pq_adc_topk(codes, queries, model, topk=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -373,3 +373,102 @@ def bowtie_classify(
         "region", F.lit("DISCONNECTED")
     )
     return labeled.unionByName(rest).repartition(P, "id")
+
+
+@dataclass
+class CondensationResult:
+    comp_edges: DataFrame  # (csrc, cdst) — distinct inter-SCC edges (a DAG)
+    layers: DataFrame      # (id, scc, layer) — longest-path depth per vertex
+    rounds: int
+    converged: bool
+
+
+def condensation_layers(
+    spark: SparkSession,
+    edges: DataFrame,
+    scc: DataFrame | None = None,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> CondensationResult:
+    """SCC condensation + longest-path layering — the DAG depth structure
+    of a web graph (how many inter-community hops separate a page from
+    the crawl frontier's sources; the quantitative refinement of the
+    bowtie's IN→CORE→OUT picture).
+
+    The condensation (one node per SCC, distinct inter-SCC edges) is
+    acyclic by construction, so the Bellman-style fixpoint
+
+        layer(c) = 0                          if c has no predecessors
+        layer(c) = 1 + max over preds layer   otherwise
+
+    converges in (DAG depth) rounds to the longest-path depth — exact
+    integers, deterministic, independent of iteration order. Components
+    and layers are joined back to vertices: every member of an SCC shares
+    its component's layer.
+
+    Plan shape: the condensation edge set is tiny relative to E (it
+    shrinks by the SCC sizes and the dedupe) and is persisted partitioned
+    on its probe key csrc; each round joins the (comp, layer) state
+    against it in place and partial-combines the max per cdst — the same
+    zero-E-scale-exchange loop as the other fixpoints, at condensation
+    scale. The final join back to vertices is one V-scale co-partitioned
+    join.
+    """
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    comps = (
+        scc if scc is not None
+        else strongly_connected_components(
+            spark, edges, num_partitions=P
+        ).components
+    ).repartition(P, "id").persist()
+    comps.count()
+    e0 = _dedup_edges(edges)
+    ce = (
+        e0.join(comps.select(F.col("id").alias("src"),
+                             F.col("scc").alias("csrc")), "src")
+        .join(comps.select(F.col("id").alias("dst"),
+                           F.col("scc").alias("cdst")), "dst")
+        .where(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+        .repartition(P, "csrc")
+        .persist()
+    )
+    ce.count()
+    layers = (
+        comps.select(F.col("scc").alias("c")).distinct()
+        .withColumn("layer", F.lit(0).cast("long"))
+        .repartition(P, "c")
+        .localCheckpoint(eager=True)
+    )
+    rounds, converged = 0, False
+    for r in range(1, max_rounds + 1):
+        prop = (
+            ce.join(layers, ce["csrc"] == layers["c"])
+            .groupBy(ce["cdst"].alias("c"))
+            .agg((F.max("layer") + 1).alias("_nl"))
+        )
+        new_layers = (
+            layers.join(prop, "c", "left")
+            .select(
+                "c",
+                F.greatest(F.col("layer"), F.coalesce("_nl", F.lit(0))).alias("layer"),
+                (F.greatest(F.col("layer"), F.coalesce("_nl", F.lit(0)))
+                 != F.col("layer")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_layers.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        layers = new_layers.drop("_chg")
+        rounds = r
+        if changed == 0:
+            converged = True
+            rounds = r - 1  # terminal identity round is not a round
+            break
+    out = (
+        comps.join(layers.select(F.col("c").alias("scc"), "layer"), "scc")
+        .select("id", "scc", "layer")
+    )
+    ce_out = ce
+    comps.unpersist()
+    return CondensationResult(ce_out, out, rounds, converged)

@@ -106,3 +106,52 @@ def test_bowtie_accepts_precomputed_scc(spark):
            bowtie_classify(spark, _edges_df(spark, edges),
                            scc=scc.components).collect()}
     assert got == bowtie_oracle(edges, _verts(edges))
+
+
+def test_condensation_layers_vs_oracle(spark):
+    from pargraph_spark.operators.scc import condensation_layers
+
+    # two 2-cycles chained plus a tail: {0,1} -> {2,3} -> 4 -> 5
+    edges = [(0, 1), (1, 0), (0, 2), (2, 3), (3, 2), (3, 4), (4, 5)]
+    res = condensation_layers(
+        spark, spark.createDataFrame(edges, "src long, dst long"),
+        num_partitions=4,
+    )
+    got = {(r["id"], r["scc"], r["layer"]) for r in res.layers.collect()}
+    want = {(0, 0, 0), (1, 0, 0), (2, 2, 1), (3, 2, 1), (4, 4, 2), (5, 5, 3)}
+    assert got == want
+    ce = {(r["csrc"], r["cdst"]) for r in res.comp_edges.collect()}
+    assert ce == {(0, 2), (2, 4), (4, 5)}
+    assert res.converged and res.rounds == 3
+
+
+def test_condensation_layers_random_vs_brute(spark):
+    import random
+    from collections import defaultdict
+
+    from pargraph_spark.operators.scc import condensation_layers
+
+    rng = random.Random(31)
+    n, m = 40, 120
+    edges = [(a, b) for a, b in {(rng.randrange(n), rng.randrange(n))
+                                 for _ in range(m)} if a != b]
+    comps = scc_oracle(edges, sorted({v for e in edges for v in e}))
+    ce = {(comps[a], comps[b]) for a, b in edges if comps[a] != comps[b]}
+    preds = defaultdict(set)
+    for a, b in ce:
+        preds[b].add(a)
+    cs = sorted(set(comps.values()))
+    layer = {c: 0 for c in cs}
+    for _ in range(len(cs)):
+        nl = {c: max([layer[p] + 1 for p in preds[c]], default=0) for c in cs}
+        nl = {c: max(layer[c], nl[c]) for c in cs}
+        if nl == layer:
+            break
+        layer = nl
+    res = condensation_layers(
+        spark, spark.createDataFrame(edges, "src long, dst long"),
+        num_partitions=4,
+    )
+    got = {r["id"]: (r["scc"], r["layer"]) for r in res.layers.collect()}
+    for v, c in comps.items():
+        assert got[v] == (c, layer[c]), v

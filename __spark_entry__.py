@@ -354,6 +354,22 @@ REACH_HOPS = 2
 REACH_K = 8
 
 
+MATCH_ROUNDS = 10  # static oracle unroll (sf0.01 converges in 7)
+
+
+def _q_matching(spark, sf):
+    # deterministic greedy maximal matching (hash-priority symmetry
+    # breaking, the mis.py discipline on edges). Rotated into the
+    # reach_kmv_2hops slot — harmonic_kmv_3hops runs the identical KMV
+    # sketch propagation/estimation internally (keep_all over 3 hops),
+    # so the reach family stays oracled (VERDICT r4 #2 rotation rule).
+    from pargraph_spark.operators.matching import maximal_matching
+
+    res = maximal_matching(spark, _co_edges(spark, sf),
+                           max_rounds=MATCH_ROUNDS)
+    return res.matches
+
+
 def _q_reach_kmv(spark, sf):
     # HyperANF-class approximate 2-hop ball size per vertex via
     # deterministic KMV sketches (operators.reach) — bit-deterministic
@@ -1001,7 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "knn_profile": _q_knn_profile,
         "top_terms": _q_top_terms,
-        "reach_kmv_2hops": _q_reach_kmv,
+        "matching": _q_matching,
         "node2vec_walks_3steps": _q_node2vec_walks,
         "score_core": _q_score_core,
         "mis": _q_mis,
@@ -1369,6 +1385,47 @@ def _random_walks_sql(seed_mod: int, num_walks: int, length: int,
     union = " UNION ALL ".join(
         f"SELECT seed_id, walk, CAST({t} AS INTEGER) AS step, vertex FROM s{t}"
         for t in range(length + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + union
+
+
+def _matching_sql(rounds: int, salt: str = "mm") -> str:
+    """Unrolled greedy maximal matching mirroring operators.matching:
+    per round, edge priority md5('salt|r|u|v'); an edge matches iff it is
+    the (p, u, v)-minimum incident edge of both endpoints; matched
+    vertices leave. Rounds past convergence are identity (empty act)."""
+    m = "AS MATERIALIZED"
+    parts = [E_SQL, f"act0 {m} (SELECT src AS u, dst AS v FROM e)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"pr{r} {m} (SELECT u, v, md5('{salt}|{r}|' || CAST(u AS VARCHAR) "
+            f"|| '|' || CAST(v AS VARCHAR)) AS p FROM act{p})"
+        )
+        parts.append(
+            f"ic{r} {m} (SELECT u AS x, p, u, v FROM pr{r} "
+            f"UNION ALL SELECT v AS x, p, u, v FROM pr{r})"
+        )
+        parts.append(
+            f"bb{r} {m} (SELECT x, p, u, v FROM (SELECT x, p, u, v, "
+            f"row_number() OVER (PARTITION BY x ORDER BY p, u, v) AS rn "
+            f"FROM ic{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"mm{r} {m} (SELECT e.u, e.v FROM pr{r} e "
+            f"JOIN bb{r} a ON a.x = e.u AND a.p = e.p AND a.u = e.u AND a.v = e.v "
+            f"JOIN bb{r} b ON b.x = e.v AND b.p = e.p AND b.u = e.u AND b.v = e.v)"
+        )
+        parts.append(
+            f"mv{r} {m} (SELECT u AS id FROM mm{r} UNION ALL SELECT v FROM mm{r})"
+        )
+        parts.append(
+            f"act{r} {m} (SELECT e.u, e.v FROM act{p} e "
+            f"LEFT JOIN mv{r} a ON a.id = e.u LEFT JOIN mv{r} b ON b.id = e.v "
+            "WHERE a.id IS NULL AND b.id IS NULL)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT u, v FROM mm{r}" for r in range(1, rounds + 1)
     )
     return "WITH " + ", ".join(parts) + " " + union
 
@@ -2461,7 +2518,8 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _assortativity_sql(),
         "knn_profile": _knn_profile_sql(),
         "top_terms": _top_terms_sql(3),
-        "reach_kmv_2hops": _reach_kmv_sql(REACH_HOPS, REACH_K),
+        # reach_kmv rotated out (harmonic_kmv runs the same propagation)
+        "matching": _matching_sql(MATCH_ROUNDS),
         "node2vec_walks_3steps": _node2vec_sql(
             RW_SEED_MOD, RW_WALKS, RW_LEN,
             N2V_P[0], N2V_P[1], N2V_Q[0], N2V_Q[1]),

@@ -118,3 +118,75 @@ def stream_dedup_docs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_span_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    min_count: int = 2,
+    schema: str = "doc_id long, ts timestamp, text string",
+    available_now: bool = True,
+):
+    """Streaming boilerplate detector: per event-time window, the n-gram
+    spans (operators/spans.py hashing, identical keys to the batch
+    repeated_spans pass) that occur >= min_count times — the ingest-side
+    early warning for template/license-block floods, ahead of the batch
+    substring-dedup pass.
+
+    State discipline (the round-3/4 lesson): a GLOBAL span counter would
+    keep one state row per distinct span ever seen — unbounded on an
+    unbounded feed. Windowed aggregation under a watermark is the
+    bounded-state formulation: state = spans per open window, evicted
+    when the watermark closes the window, at which point the window's
+    verdict appends exactly once (file-sink commit log). Cross-window
+    repetition is the BATCH pass's job (span_dup_stats); the stream's
+    contract is repetition WITHIN the window, and the two compose.
+
+    Appends (window_start, window_end, span, n_occurrences, n_docs)."""
+    from pargraph_spark.functions.text import tokens
+
+    docs = spark.readStream.schema(schema).parquet(input_dir)
+    # same span keys as operators/spans.py (ngram_spans), with ts carried
+    # through; sequence() descends when stop < start, so short docs are
+    # size-guarded to an empty window list rather than clamped
+    spans = (
+        docs.select("doc_id", "ts", tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "doc_id", "ts",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n} + 1), "
+                    f"i -> md5(cast(concat_ws(' ', slice(toks, i, {n})) as binary)))"
+                )
+            ).alias("span"),
+        )
+    )
+    counted = (
+        spans.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.approx_count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= int(min_count))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "span", "n_occurrences", "n_docs",
+        )
+    )
+    writer = (
+        counted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -161,3 +161,50 @@ def test_stream_dedup_docs_reemits_past_watermark_horizon(spark, tmp_path):
     assert emitted == [1, 2, 3, 9], emitted
     fps = [r["fp"] for r in out if r["doc_id"] in (1, 3)]
     assert fps[0] == fps[1]  # same content fingerprint, emitted twice
+
+
+def test_stream_span_counts_windowed(spark, tmp_path):
+    import hashlib
+    from datetime import datetime
+
+    from pargraph_spark.streaming.incremental import stream_span_counts
+
+    in_dir = str(tmp_path / "sp_in")
+    out_dir = str(tmp_path / "sp_out")
+    ck = str(tmp_path / "sp_ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    t0 = datetime(2026, 1, 1, 12, 10, 0)
+    t1 = datetime(2026, 1, 1, 13, 10, 0)  # next hour window
+    boiler = "all rights reserved contact the site owner"
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, name))
+
+    drop("d1", [
+        (1, t0, f"intro words {boiler} tail one"),
+        (2, t0, f"other preamble {boiler} different tail"),
+        (3, t0, "no repeated content in this one at all"),
+        # next window: boilerplate appears only once -> below min_count
+        (4, t1, f"late {boiler} again"),
+    ])
+    q = stream_span_counts(
+        spark, in_dir + "/*", out_dir, ck, n=4,
+        window="1 hour", watermark="10 minutes", min_count=2,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir).collect()
+    # windows only close once the watermark passes them; the t0 window
+    # closes thanks to the t1 events advancing the watermark
+    by_span = {(r["span"], r["window_start"].hour): r for r in out}
+    btoks = boiler.split()
+    for i in range(len(btoks) - 4 + 1):
+        key = hashlib.md5(" ".join(btoks[i:i + 4]).encode()).hexdigest()
+        row = by_span.get((key, 12))
+        assert row is not None, (i, sorted(by_span))
+        assert row["n_occurrences"] == 2
+    # t1 window: nothing repeated, and it may not even have closed
+    assert all(h == 12 for (_, h) in by_span)

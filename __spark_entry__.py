@@ -354,6 +354,29 @@ REACH_HOPS = 2
 REACH_K = 8
 
 
+BF_CAP = 32  # butterfly right-vertex (part) degree cap
+
+
+def _q_butterflies(spark, sf):
+    # bipartite 4-cycle counts over the NATURAL order<->part incidence
+    # (no derived projection): per-order butterfly count. Rotated into
+    # the minhash_lsh_pairs slot — that whole pipeline (shingles ->
+    # signatures -> bands -> candidate pairs) runs inside dedup_groups,
+    # which stays oracled (VERDICT r4 #2 rotation rule).
+    from pargraph_spark.operators.butterflies import butterfly_counts
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    pp = butterfly_counts(li, hot_cap=BF_CAP).per_pair
+    return (
+        pp.select(F.col("a").alias("id"), "bf")
+        .unionByName(pp.select(F.col("b").alias("id"), "bf"))
+        .groupBy("id")
+        .agg(F.sum("bf").alias("bf"))
+    )
+
+
 MATCH_ROUNDS = 10  # static oracle unroll (sf0.01 converges in 7)
 
 
@@ -1031,7 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "butterflies": _q_butterflies,
         "span_dup_stats": _q_span_dup_stats,
         "dedup_groups": _q_dedup_groups,
         "media_features": _q_media_features,
@@ -2595,8 +2618,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM t GROUP BY md5(n)"
         ),
         "simhash": _simhash_sql(),
-        "minhash_lsh_pairs": (
-            f"WITH {DOCS_NORM_SQL}, {_MINHASH_PRELUDE} SELECT a, b FROM pairs"
+        # minhash_lsh_pairs rotated out (full pipeline runs inside
+        # dedup_groups); bipartite butterflies take the slot
+        "butterflies": (
+            "WITH be AS MATERIALIZED (SELECT DISTINCT l_orderkey AS u, "
+            "l_partkey AS w FROM lineitem), "
+            "degw AS MATERIALIZED (SELECT w, count(*) AS d FROM be GROUP BY w), "
+            f"kept AS MATERIALIZED (SELECT be.u, be.w FROM be "
+            f"JOIN degw ON degw.w = be.w WHERE degw.d <= {BF_CAP}), "
+            "p AS MATERIALIZED (SELECT k1.u AS a, k2.u AS b, "
+            "CAST(count(*) AS BIGINT) AS c FROM kept k1 "
+            "JOIN kept k2 ON k1.w = k2.w AND k1.u < k2.u GROUP BY k1.u, k2.u), "
+            "pp AS (SELECT a, b, CAST(c * (c - 1) / 2 AS BIGINT) AS bf "
+            "FROM p WHERE c >= 2) "
+            "SELECT id, CAST(sum(bf) AS BIGINT) AS bf FROM (SELECT a AS id, bf FROM pp "
+            "UNION ALL SELECT b, bf FROM pp) GROUP BY id"
         ),
         # jaccard_pairs rotated out: its full pipeline runs inside
         # dedup_groups (still oracled below); span_dup_stats takes the slot

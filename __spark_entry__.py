@@ -377,6 +377,60 @@ def _q_butterflies(spark, sf):
     )
 
 
+BITRUSS_K = 2
+BITRUSS_ROUNDS = 3  # sf0.01 converges in 2 effective rounds + 1 identity
+
+
+def _q_bitruss(spark, sf):
+    # k-bitruss peel over the same natural order<->part incidence as
+    # `butterflies`. Rotated into the clustering_coefficient slot — its
+    # triangle enumeration (triangle_triples) runs inside ktruss's
+    # initial support pass, which stays oracled; the lcc ratio itself
+    # stays pytest-covered (VERDICT r4 #2 rotation rule).
+    from pargraph_spark.operators.butterflies import bitruss
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return bitruss(
+        spark, li, k=BITRUSS_K, hot_cap=BF_CAP, fixed_rounds=BITRUSS_ROUNDS
+    ).edges
+
+
+def _bitruss_sql() -> str:
+    # recount-formulation unroll: round-N supports are measured on the
+    # round-(N-1) graph, so with N >= convergence + 1 the final supports
+    # are the fixpoint-graph supports the incremental peel maintains
+    parts = [
+        "WITH be AS MATERIALIZED (SELECT DISTINCT l_orderkey AS u, "
+        "l_partkey AS w FROM lineitem), "
+        "degw AS MATERIALIZED (SELECT w, count(*) AS d FROM be GROUP BY w), "
+        f"k0 AS MATERIALIZED (SELECT be.u, be.w FROM be JOIN degw "
+        f"ON degw.w = be.w WHERE degw.d <= {BF_CAP})"
+    ]
+    for r in range(1, BITRUSS_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"wg{r} AS MATERIALIZED (SELECT k1.u AS a, k2.u AS b, k1.w "
+            f"FROM k{p} k1 JOIN k{p} k2 ON k1.w = k2.w AND k1.u < k2.u), "
+            f"c{r} AS MATERIALIZED (SELECT a, b, count(*) AS c FROM wg{r} "
+            f"GROUP BY a, b HAVING count(*) >= 2), "
+            f"s{r} AS MATERIALIZED (SELECT u, w, SUM(g) AS sup FROM ("
+            f"SELECT wg{r}.a AS u, wg{r}.w, c - 1 AS g FROM wg{r} "
+            f"JOIN c{r} USING (a, b) UNION ALL "
+            f"SELECT wg{r}.b, wg{r}.w, c - 1 FROM wg{r} "
+            f"JOIN c{r} USING (a, b)) GROUP BY u, w), "
+            f"k{r} AS MATERIALIZED (SELECT k.u, k.w, "
+            f"COALESCE(s.sup, 0)::BIGINT AS sup FROM k{p} k LEFT JOIN s{r} s "
+            f"ON s.u = k.u AND s.w = k.w "
+            f"WHERE COALESCE(s.sup, 0) >= {BITRUSS_K})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT u, w, sup FROM k{BITRUSS_ROUNDS}"
+    )
+
+
 MATCH_ROUNDS = 10  # static oracle unroll (sf0.01 converges in 7)
 
 
@@ -1020,7 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slpa_round4": _q_slpa,
         "cc_incremental": _q_cc_incremental,
         "katz_5iter": _q_katz,
-        "clustering_coefficient": _q_clustering_coefficient,
+        "bitruss": _q_bitruss,
         "pagerank_30iter": _q_pagerank_30iter,
         # r5 consolidation #2: ppr_5iter + wpagerank_5iter merged into the
         # combined wppr_5iter (teleport AND weight paths in one oracle);
@@ -2470,19 +2524,9 @@ def oracle_sql() -> dict[str, str]:
             )
             + f" SELECT id, CAST(xs AS DOUBLE) / {float(20 ** 5)} AS katz FROM x5"
         ),
-        "clustering_coefficient": (
-            f"WITH {E_SQL}, "
-            "tri AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z "
-            "FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst "
-            "JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst), "
-            "tpv AS MATERIALIZED (SELECT id, count(*) AS tri FROM (SELECT x AS id FROM tri "
-            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY id), "
-            "deg AS MATERIALIZED (SELECT id, count(*) AS d FROM "
-            "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY id) "
-            "SELECT deg.id, CASE WHEN deg.d < 2 THEN 0.0 ELSE "
-            "2.0 * coalesce(tpv.tri, 0) / (deg.d * (deg.d - 1)) END AS lcc "
-            "FROM deg LEFT JOIN tpv ON deg.id = tpv.id"
-        ),
+        # clustering_coefficient rotated out (triangle_triples runs inside
+        # ktruss's oracled initial support pass); bitruss takes the slot
+        "bitruss": _bitruss_sql(),
         "pagerank_30iter": _pagerank_sql(30),
         "wppr_5iter": _wppr_sql(5),
         # edge_jaccard: integer triangle support per edge + ONE IEEE

@@ -657,8 +657,61 @@ def _q_pagerank_30iter(spark, sf):
     return res.ranks.select("id", F.round(F.col("rank"), 7).alias("rank7"))
 
 
-def _q_cc_full(spark, sf):
-    return connected_components(spark, _co_edges(spark, sf)).components
+SCAN_EPS2 = (1, 2)  # eps^2 = 1/2 -> eps = 1/sqrt(2)
+SCAN_MU = 3
+SCAN_CLIQUE_CAP = 8  # orders per customer forming a clique
+SCAN_BRIDGE_MOD = 101  # hash-sparsified shared-part bridge edges
+
+
+def _scan_edges(spark, sf):
+    """Clique+bridge link-graph fixture: each customer's first 8 orders
+    form a clique (dense community); orders sharing a part contribute
+    hash-sparsified bridge edges — the canonical SCAN shape exercising
+    all four roles (the part co-occurrence graph's max sigma is 0.23, too
+    uniform to produce cores at any meaningful eps)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    k = (
+        o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SCAN_CLIQUE_CAP)
+    )
+    a, b = k.alias("a"), k.alias("b")
+    ce = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    br = (
+        x.join(
+            y,
+            (F.col("x.l_partkey") == F.col("y.l_partkey"))
+            & (F.col("x.l_orderkey") < F.col("y.l_orderkey")),
+        )
+        .where(
+            (F.col("x.l_orderkey") * 37 + F.col("y.l_orderkey") * 61)
+            % SCAN_BRIDGE_MOD == 0
+        )
+        .select(F.col("x.l_orderkey").alias("src"),
+                F.col("y.l_orderkey").alias("dst"))
+        .distinct()
+    )
+    return ce.unionByName(br)
+
+
+def _q_scan_roles(spark, sf):
+    # SCAN structural clustering. Rotated into the cc_full slot —
+    # connected_components literally runs inside the still-oracled
+    # cc_incremental query (its `prev` pass) AND inside scan_clusters'
+    # core-cluster step (VERDICT r4 #2 rotation rule).
+    from pargraph_spark.operators.scan import scan_clusters
+
+    return scan_clusters(
+        spark, _scan_edges(spark, sf), eps2=SCAN_EPS2, mu=SCAN_MU
+    ).assignments
 
 
 SLPA_SEED_MOD = 50  # seeds: id % 50 == 0, label = id % 3 (3 classes)
@@ -1103,7 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_5iter": _q_salsa,
         "diameter_2sweep": _q_diameter,
         "wlpa_round3": _q_wlpa_round3,
-        "cc_full": _q_cc_full,
+        "scan_roles": _q_scan_roles,
         "spam_mass": _q_spam_mass,
         "doc_stats": _q_doc_stats,
         "exact_dedup": _q_exact_dedup,
@@ -2633,17 +2686,56 @@ def oracle_sql() -> dict[str, str]:
             f"'{PII_EMAIL_RE}', '<email>', 'g'), "
             f"'{PII_PHONE_RE}', '<phone>', 'g')) AS scrub_fp FROM aug"
         ),
-        # cc_full: uncapped recursive min-label closure (the capped variant
-        # exists as `connected_components` for cheap per-round checking)
-        "cc_full": (
+        # cc_full rotated out (connected_components runs inside the
+        # oracled cc_incremental AND inside scan_clusters' core step);
+        # SCAN structural clustering takes the slot. Fully integer: the
+        # eps test is p*(da+1)*(db+1) <= q*(c+2)^2, labels are min ids.
+        "scan_roles": (
             "WITH RECURSIVE "
-            "eb AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
-            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
-            "AND a.l_partkey < b.l_partkey), "
-            "sym AS (SELECT src AS u, dst AS v FROM eb UNION SELECT dst, src FROM eb), "
-            "reach(v, r) AS (SELECT u, u FROM sym UNION "
-            "SELECT sym.v, reach.r FROM reach JOIN sym ON sym.u = reach.v) "
-            "SELECT v AS id, min(r) AS component FROM reach GROUP BY v"
+            "ro AS (SELECT o_orderkey, o_custkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders), "
+            f"ko AS (SELECT o_orderkey, o_custkey FROM ro WHERE rn <= {SCAN_CLIQUE_CAP}), "
+            "ce AS (SELECT a.o_orderkey AS a, b.o_orderkey AS b FROM ko a "
+            "JOIN ko b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey), "
+            "br AS (SELECT DISTINCT x.l_orderkey AS a, y.l_orderkey AS b "
+            "FROM lineitem x JOIN lineitem y ON x.l_partkey = y.l_partkey "
+            "AND x.l_orderkey < y.l_orderkey "
+            f"WHERE (x.l_orderkey * 37 + y.l_orderkey * 61) % {SCAN_BRIDGE_MOD} = 0), "
+            "ue AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+            "(SELECT a, b FROM ce UNION ALL SELECT a, b FROM br)), "
+            "sy AS MATERIALIZED (SELECT a AS u, b AS v FROM ue UNION SELECT b, a FROM ue), "
+            "dg AS MATERIALIZED (SELECT u AS id, count(*) AS d FROM sy GROUP BY u), "
+            "supp AS MATERIALIZED (SELECT e.a, e.b, count(*) AS c FROM ue e "
+            "JOIN sy s1 ON s1.u = e.a JOIN sy s2 ON s2.u = e.b AND s2.v = s1.v "
+            "GROUP BY e.a, e.b), "
+            "eps AS MATERIALIZED (SELECT e.a, e.b FROM ue e "
+            "LEFT JOIN supp ON supp.a = e.a AND supp.b = e.b "
+            "JOIN dg da ON da.id = e.a JOIN dg db ON db.id = e.b "
+            f"WHERE {SCAN_EPS2[0]} * (da.d + 1) * (db.d + 1) <= "
+            f"{SCAN_EPS2[1]} * (COALESCE(supp.c, 0) + 2) * (COALESCE(supp.c, 0) + 2)), "
+            "es AS MATERIALIZED (SELECT a AS u, b AS v FROM eps UNION SELECT b, a FROM eps), "
+            "ecnt AS (SELECT u AS id, count(*) + 1 AS n FROM es GROUP BY u), "
+            f"core AS MATERIALIZED (SELECT id FROM ecnt WHERE n >= {SCAN_MU}), "
+            "ces AS MATERIALIZED (SELECT es.u, es.v FROM es "
+            "JOIN core c1 ON c1.id = es.u JOIN core c2 ON c2.id = es.v), "
+            "reach(v, r) AS (SELECT id, id FROM core UNION "
+            "SELECT ces.v, reach.r FROM reach JOIN ces ON ces.u = reach.v), "
+            "ccore AS MATERIALIZED (SELECT v AS id, min(r) AS cluster FROM reach GROUP BY v), "
+            "mem AS (SELECT es.u AS id, min(c.cluster) AS cluster FROM es "
+            "JOIN ccore c ON c.id = es.v "
+            "WHERE es.u NOT IN (SELECT id FROM core) GROUP BY es.u), "
+            "asg AS MATERIALIZED (SELECT id, cluster, 'core' AS role FROM ccore "
+            "UNION ALL SELECT id, cluster, 'member' AS role FROM mem), "
+            "verts AS (SELECT DISTINCT u AS id FROM sy), "
+            "rest AS MATERIALIZED (SELECT id FROM verts "
+            "WHERE id NOT IN (SELECT id FROM asg)), "
+            "nbc AS (SELECT s.u AS id, count(DISTINCT a.cluster) AS nc "
+            "FROM sy s JOIN asg a ON a.id = s.v "
+            "JOIN rest r ON r.id = s.u GROUP BY s.u) "
+            "SELECT id, CAST(cluster AS BIGINT) AS cluster, role FROM asg "
+            "UNION ALL SELECT r.id, CAST(-1 AS BIGINT) AS cluster, "
+            "CASE WHEN COALESCE(nbc.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END AS role "
+            "FROM rest r LEFT JOIN nbc ON nbc.id = r.id"
         ),
         # spam_mass: dual unrolled chains (uniform PR + TrustRank) joined
         # into relative spam mass; replaces lpa_full (modularity_lpa20

@@ -512,16 +512,24 @@ def _q_mis(spark, sf):
 DIAM_ROUNDS = 6    # sf0.01 eccentricities are 3; identity past convergence
 
 
-def _q_diameter(spark, sf):
-    # double-sweep diameter lower bound (Magnien et al.): BFS, re-seed at
-    # the farthest vertex (min-id tie-break), report the second
-    # eccentricity — deterministic 1-row summary
-    from pargraph_spark.operators.bfs import diameter_2sweep
+LM_COUNT = 8   # landmarks: 8 smallest vertices by md5('lm|id')
+LM_HOPS = 3    # sf0.01 co-graph eccentricities are 3 -> full coverage
 
-    est = diameter_2sweep(spark, _co_edges(spark, sf))
-    return spark.createDataFrame(
-        [(est.lower_bound, est.sweep1_far, est.n_reached)],
-        "lower_bound long, sweep1_far long, n_reached long",
+
+def _q_landmarks(spark, sf):
+    # landmark distance sketch (Potamias et al.): one multi-source BFS
+    # from the md5-chosen landmark set; rotated into the diameter_2sweep
+    # slot — diameter's entire computation is two bfs_distances runs and
+    # the landmark sketch exercises the same frontier-expansion core at
+    # L sources (VERDICT r4 #2 rotation rule); diameter + single-source
+    # BFS stay pytest-covered (test_bfs.py)
+    from pargraph_spark.operators.landmarks import landmark_distances
+
+    res = landmark_distances(
+        spark, _co_edges(spark, sf), num_landmarks=LM_COUNT, max_hops=LM_HOPS
+    )
+    return res.distances.select(
+        "landmark", "id", F.col("dist").cast("long").alias("dist")
     )
 
 
@@ -1154,7 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_kmv_3hops": _q_harmonic_kmv,
         "ktruss": _q_ktruss,
         "salsa_5iter": _q_salsa,
-        "diameter_2sweep": _q_diameter,
+        "landmark_dists": _q_landmarks,
         "wlpa_round3": _q_wlpa_round3,
         "scan_roles": _q_scan_roles,
         "spam_mass": _q_spam_mass,
@@ -1703,6 +1711,34 @@ def _diameter_sql(rounds: int) -> str:
         + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
         f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
         f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
+    )
+
+
+def _landmarks_sql(count: int, hops: int) -> str:
+    """Unrolled multi-source BFS mirroring operators.landmarks: landmark
+    set = `count` smallest vertices by md5('lm|id') (id tie-break, the
+    Spark _lm_priority expression verbatim), then min-dist relaxation over
+    sym carrying the landmark key; rounds past eccentricity are identity."""
+    m = "AS MATERIALIZED"
+    parts = [
+        E_SQL,
+        SYM_SQL,
+        f"verts {m} (SELECT DISTINCT u AS id FROM sym)",
+        f"lmv {m} (SELECT id FROM verts "
+        f"ORDER BY md5('lm|' || CAST(id AS VARCHAR)) ASC, id ASC LIMIT {count})",
+        f"ld0 {m} (SELECT id AS l, id, 0 AS dist FROM lmv)",
+    ]
+    for t in range(1, hops + 1):
+        p = t - 1
+        parts.append(
+            f"ld{t} {m} (SELECT l, id, min(dist) AS dist FROM ("
+            f"SELECT l, id, dist FROM ld{p} "
+            f"UNION ALL SELECT d.l, s.v AS id, d.dist + 1 AS dist "
+            f"FROM sym s JOIN ld{p} d ON s.u = d.id) GROUP BY l, id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT l AS landmark, id, CAST(dist AS BIGINT) AS dist FROM ld{hops}"
     )
 
 
@@ -2648,7 +2684,11 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
         "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
         "salsa_5iter": _salsa_sql(5),
-        "diameter_2sweep": _diameter_sql(DIAM_ROUNDS),
+        # diameter_2sweep rotated out (its computation is two bfs_distances
+        # sweeps; the landmark sketch oracles the same frontier core at L
+        # sources); unrolled min-dist relaxation seeded at the md5-chosen
+        # landmark set — all-integer, exact
+        "landmark_dists": _landmarks_sql(LM_COUNT, LM_HOPS),
         "wlpa_round3": _wlpa_sql(3),
         "hits_5iter": _hits_sql(5),
         # common_neighbors: integer-exact wedge counts with the declared

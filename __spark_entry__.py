@@ -500,13 +500,20 @@ def _q_score_core(spark, sf):
         "id", F.col("strength").cast("long").alias("strength"))
 
 
-def _q_mis(spark, sf):
-    # deterministic Luby maximal independent set (md5 round priorities)
-    from pargraph_spark.operators.mis import maximal_independent_set
+COLOR_ROUNDS = 8   # JP prefix: colored-so-far after 8 rounds (exact)
 
-    res = maximal_independent_set(spark, _co_edges(spark, sf),
-                                  fixed_rounds=MIS_ROUNDS)
-    return res.members
+
+def _q_coloring(spark, sf):
+    # Jones-Plassmann greedy coloring, COLOR_ROUNDS-round prefix. Rotated into the
+    # mis slot — every coloring round's winner selection IS a
+    # deterministic-Luby independent-set round (local md5-priority
+    # minima, the identical mis._priority machinery); MIS itself stays
+    # pytest-covered (test_mis.py) per the VERDICT r4 #2 rotation rule
+    from pargraph_spark.operators.coloring import greedy_coloring
+
+    res = greedy_coloring(spark, _co_edges(spark, sf),
+                          fixed_rounds=COLOR_ROUNDS)
+    return res.colors
 
 
 DIAM_ROUNDS = 6    # sf0.01 eccentricities are 3; identity past convergence
@@ -1158,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": _q_matching,
         "node2vec_walks_3steps": _q_node2vec_walks,
         "score_core": _q_score_core,
-        "mis": _q_mis,
+        "coloring": _q_coloring,
         "harmonic_kmv_3hops": _q_harmonic_kmv,
         "ktruss": _q_ktruss,
         "salsa_5iter": _q_salsa,
@@ -1711,6 +1718,66 @@ def _diameter_sql(rounds: int) -> str:
         + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
         f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
         f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
+    )
+
+
+def _coloring_sql(rounds: int, salt: str = "color") -> str:
+    """Unrolled Jones-Plassmann rounds mirroring operators.coloring: the
+    mis priority key with FIXED round 0 (md5('salt|0|id')[:16]-lpad(id));
+    winners are local priority minima among uncolored vertices; a
+    winner's color is the mex of its already-colored full-graph
+    neighborhood, computed as the smallest g in 0..r-1 no colored
+    neighbor holds (round-r colors are provably < r). Colored-so-far
+    prefix after `rounds` rounds — all-integer, exact."""
+    m = "AS MATERIALIZED"
+    pk = (
+        f"concat(substr(md5('{salt}|0|' || CAST(id AS VARCHAR)), 1, 16), "
+        f"'-', lpad(CAST(id AS VARCHAR), 20, '0'))"
+    )
+    parts = [
+        E_SQL,
+        SYM_SQL,
+        f"und0 {m} (SELECT DISTINCT u AS id FROM sym)",
+        f"g0 {m} (SELECT u, v FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"pk{r} {m} (SELECT id, {pk} AS pk FROM und{p})")
+        parts.append(
+            f"nm{r} {m} (SELECT s.u AS id, min(k.pk) AS nmin FROM g{p} s "
+            f"JOIN pk{r} k ON s.v = k.id GROUP BY s.u)"
+        )
+        parts.append(
+            f"win{r} {m} (SELECT k.id FROM pk{r} k LEFT JOIN nm{r} nm "
+            f"ON k.id = nm.id WHERE nm.nmin IS NULL OR k.pk < nm.nmin)"
+        )
+        if r == 1:
+            parts.append(f"wc1 {m} (SELECT id, 0 AS color FROM win1)")
+            parts.append(f"col1 {m} (SELECT id, color FROM wc1)")
+        else:
+            parts.append(
+                f"wc{r} {m} (SELECT w.id, min(t.g) AS color "
+                f"FROM win{r} w, generate_series(0, {r - 1}) t(g) "
+                f"WHERE NOT EXISTS (SELECT 1 FROM sym s JOIN col{p} c "
+                f"ON s.u = w.id AND s.v = c.id AND c.color = t.g) "
+                f"GROUP BY w.id)"
+            )
+            parts.append(
+                f"col{r} {m} (SELECT id, color FROM col{p} "
+                f"UNION ALL SELECT id, color FROM wc{r})"
+            )
+        parts.append(
+            f"und{r} {m} (SELECT id FROM und{p} "
+            f"WHERE id NOT IN (SELECT id FROM win{r}))"
+        )
+        parts.append(
+            f"g{r} {m} (SELECT u, v FROM g{p} "
+            f"WHERE u NOT IN (SELECT id FROM win{r}) "
+            f"AND v NOT IN (SELECT id FROM win{r}))"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(color AS INTEGER) AS color FROM col{rounds}"
     )
 
 
@@ -2680,7 +2747,9 @@ def oracle_sql() -> dict[str, str]:
             RW_SEED_MOD, RW_WALKS, RW_LEN,
             N2V_P[0], N2V_P[1], N2V_Q[0], N2V_Q[1]),
         "score_core": _score_core_sql(SCORE_S, SCORE_ROUNDS),
-        "mis": _mis_sql(MIS_ROUNDS),
+        # mis rotated out (each coloring round runs the identical Luby
+        # local-minima selection); JP coloring prefix takes the slot
+        "coloring": _coloring_sql(COLOR_ROUNDS),
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
         "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
         "salsa_5iter": _salsa_sql(5),

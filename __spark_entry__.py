@@ -553,15 +553,62 @@ TRUSS_K = 12       # sf0.01 cascade: 5 peel rounds, 1127-edge truss
 TRUSS_ROUNDS = 7   # fixed rounds, identity past the fixpoint
 
 
-def _q_ktruss(spark, sf):
-    # k-truss edge decomposition: surviving canonical edges + in-truss
-    # triangle support (support counts are enumeration-invariant, so the
-    # Spark degree-ordered orientation and the oracle's a<b<c agree)
-    from pargraph_spark.operators.triangles import ktruss
+TRUSSN_BRIDGE_MOD = 11  # denser bridges than SCAN's 101: mixed supports
+TRUSSN_ROUNDS = 4       # sf0.01 fixpoint in 2 rounds; +2 identity margin
 
-    res = ktruss(spark, _co_edges(spark, sf), k=TRUSS_K,
-                 fixed_rounds=TRUSS_ROUNDS)
-    return res.edges.select("a", "b", F.col("support").cast("long").alias("support"))
+
+def _truss_edges(spark, sf):
+    """Clique+bridge fixture with TRUSSN_BRIDGE_MOD-sparsified bridges:
+    intra-clique edges carry support ≈ clique size while bridge-adjacent
+    edges carry low, varied supports, so trussness spreads 2..15 instead
+    of the co-graph's slow-converging dense plateau."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    k = (
+        o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SCAN_CLIQUE_CAP)
+    )
+    a, b = k.alias("a"), k.alias("b")
+    ce = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(F.col("a.o_orderkey").alias("src"), F.col("b.o_orderkey").alias("dst"))
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    br = (
+        x.join(
+            y,
+            (F.col("x.l_partkey") == F.col("y.l_partkey"))
+            & (F.col("x.l_orderkey") < F.col("y.l_orderkey")),
+        )
+        .where(
+            (F.col("x.l_orderkey") * 37 + F.col("y.l_orderkey") * 61)
+            % TRUSSN_BRIDGE_MOD == 0
+        )
+        .select(F.col("x.l_orderkey").alias("src"),
+                F.col("y.l_orderkey").alias("dst"))
+        .distinct()
+    )
+    return ce.unionByName(br)
+
+
+def _q_truss_numbers(spark, sf):
+    # full truss decomposition (per-edge truss number via the support
+    # h-index fixpoint). Rotated into the ktruss slot — truss_numbers
+    # runs the identical degree-ordered triangle enumeration + per-edge
+    # support computation (ktruss's round-1 state) and strictly
+    # generalizes the answer (the k-truss is exactly truss >= k); the
+    # fixed-k peel stays pytest-covered (test_triangles.py)
+    from pargraph_spark.operators.triangles import truss_numbers
+
+    res = truss_numbers(spark, _truss_edges(spark, sf),
+                        fixed_rounds=TRUSSN_ROUNDS)
+    return res.trussness.select(
+        "a", "b", F.col("truss").cast("long").alias("truss")
+    )
 
 
 def _q_harmonic_kmv(spark, sf):
@@ -1167,7 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_core": _q_score_core,
         "coloring": _q_coloring,
         "harmonic_kmv_3hops": _q_harmonic_kmv,
-        "ktruss": _q_ktruss,
+        "truss_numbers": _q_truss_numbers,
         "salsa_5iter": _q_salsa,
         "landmark_dists": _q_landmarks,
         "wlpa_round3": _q_wlpa_round3,
@@ -1718,6 +1765,63 @@ def _diameter_sql(rounds: int) -> str:
         + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
         f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
         f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
+    )
+
+
+def _truss_numbers_sql(rounds: int) -> str:
+    """Unrolled support-h-index fixpoint mirroring
+    operators.triangles.truss_numbers on the clique+bridge fixture:
+    est0 = per-edge triangle support; each round every triangle hands
+    each of its edges the min of the OTHER two edges' estimates, the
+    values clamp at the edge's own estimate, and the new estimate is the
+    h-index (max over x of min(#values ≥ x, x) — the core_numbers
+    window). Rounds past the fixpoint are identity; truss = est + 2."""
+    m = "AS MATERIALIZED"
+    parts = [
+        "ro AS (SELECT o_orderkey, o_custkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders)",
+        f"ko {m} (SELECT o_orderkey, o_custkey FROM ro WHERE rn <= {SCAN_CLIQUE_CAP})",
+        f"ce {m} (SELECT a.o_orderkey AS a, b.o_orderkey AS b FROM ko a "
+        "JOIN ko b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey)",
+        f"br {m} (SELECT DISTINCT x.l_orderkey AS a, y.l_orderkey AS b "
+        "FROM lineitem x JOIN lineitem y ON x.l_partkey = y.l_partkey "
+        "AND x.l_orderkey < y.l_orderkey "
+        f"WHERE (x.l_orderkey * 37 + y.l_orderkey * 61) % {TRUSSN_BRIDGE_MOD} = 0)",
+        f"ue {m} (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM ce UNION ALL SELECT a, b FROM br))",
+        f"tri {m} (SELECT e1.a AS p, e1.b AS q, e2.b AS r FROM ue e1 "
+        "JOIN ue e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b)",
+        f"est0 {m} (SELECT a, b, count(*) AS c FROM ("
+        "SELECT p AS a, q AS b FROM tri UNION ALL SELECT p, r FROM tri "
+        "UNION ALL SELECT q, r FROM tri) GROUP BY a, b)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"contrib{r} {m} ("
+            f"SELECT t.p AS a, t.q AS b, LEAST(x.c, y.c) AS v FROM tri t "
+            f"JOIN est{p} x ON x.a = t.p AND x.b = t.r "
+            f"JOIN est{p} y ON y.a = t.q AND y.b = t.r "
+            f"UNION ALL SELECT t.p, t.r, LEAST(x.c, y.c) FROM tri t "
+            f"JOIN est{p} x ON x.a = t.p AND x.b = t.q "
+            f"JOIN est{p} y ON y.a = t.q AND y.b = t.r "
+            f"UNION ALL SELECT t.q, t.r, LEAST(x.c, y.c) FROM tri t "
+            f"JOIN est{p} x ON x.a = t.p AND x.b = t.q "
+            f"JOIN est{p} y ON y.a = t.p AND y.b = t.r)"
+        )
+        parts.append(
+            f"est{r} {m} (SELECT a, b, MAX(LEAST(cum, x)) AS c FROM ("
+            f"SELECT a, b, x, CAST(SUM(cnt) OVER (PARTITION BY a, b "
+            f"ORDER BY x DESC) AS BIGINT) AS cum FROM ("
+            f"SELECT cb.a, cb.b, LEAST(cb.v, e.c) AS x, count(*) AS cnt "
+            f"FROM contrib{r} cb JOIN est{p} e ON e.a = cb.a AND e.b = cb.b "
+            f"GROUP BY cb.a, cb.b, LEAST(cb.v, e.c)) h) g GROUP BY a, b)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT u.a, u.b, CAST(COALESCE(e.c, 0) + 2 AS BIGINT) AS truss "
+        f"FROM ue u LEFT JOIN est{rounds} e ON e.a = u.a AND e.b = u.b"
     )
 
 
@@ -2751,7 +2855,10 @@ def oracle_sql() -> dict[str, str]:
         # local-minima selection); JP coloring prefix takes the slot
         "coloring": _coloring_sql(COLOR_ROUNDS),
         "harmonic_kmv_3hops": _harmonic_kmv_sql(HARM_HOPS, HARM_K),
-        "ktruss": _ktruss_sql(TRUSS_K, TRUSS_ROUNDS),
+        # ktruss rotated out (truss_numbers runs the identical triangle
+        # enumeration + support state and generalizes it: k-truss ==
+        # truss >= k); full decomposition takes the slot
+        "truss_numbers": _truss_numbers_sql(TRUSSN_ROUNDS),
         "salsa_5iter": _salsa_sql(5),
         # diameter_2sweep rotated out (its computation is two bfs_distances
         # sweeps; the landmark sketch oracles the same frontier core at L

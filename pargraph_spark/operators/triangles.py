@@ -258,6 +258,7 @@ def truss_numbers(
     edges: DataFrame,
     max_rounds: int = 100,
     num_partitions: int | None = None,
+    fixed_rounds: int | None = None,
 ) -> TrussNumbersResult:
     """Full truss decomposition: every edge's truss number (the largest k
     such that the edge survives in the k-truss) — the EDGE analogue of
@@ -322,7 +323,10 @@ def truss_numbers(
     w = Window.partitionBy("a", "b").orderBy(F.col("x").desc())
     rounds = 0
     converged = False
-    for r in range(1, max_rounds + 1):
+    # fixed_rounds: exactly that many rounds, no convergence jobs (oracle
+    # parity — identity past the fixpoint, the core_numbers discipline)
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
         t0 = time.monotonic()
         j = melt.join(est, ["a", "b"])  # co-partitioned: no melt exchange
         g = j.groupBy("t").agg(
@@ -350,18 +354,22 @@ def truss_numbers(
             .repartition(P, "a", "b")
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_est.join(est.select("a", "b", F.col("c").alias("_old")), ["a", "b"])
-            .where(F.col("c") != F.col("_old"))
-            .count()
-        )
+        if fixed_rounds is None:
+            n_changed = (
+                new_est.join(est.select("a", "b", F.col("c").alias("_old")),
+                             ["a", "b"])
+                .where(F.col("c") != F.col("_old"))
+                .count()
+            )
+        else:
+            n_changed = float("nan")
         est.unpersist()
         est = new_est
         metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
                                     0, float(n_changed)))
-        if n_changed == 0:
+        if fixed_rounds is None and n_changed == 0:
             converged = True
-            break
+            break  # identity round: not counted (kcore semantics)
         rounds = r
     out = (
         und.join(est, ["a", "b"], "left")

@@ -196,3 +196,23 @@ def test_truss_numbers_clique_plus_tail(spark):
     for a, b in combinations(range(5), 2):
         assert got[(a, b)] == 5
     assert got[(4, 99)] == 2
+
+
+def test_truss_numbers_fixed_rounds_identity_past_fixpoint(spark):
+    # fixed_rounds past convergence equals the converged decomposition
+    # (the driver-oracle contract), and never runs convergence jobs
+    from pargraph_spark.operators.triangles import truss_numbers
+
+    rng = random.Random(7)
+    edges = [(s, d) for s, d in
+             {(rng.randrange(16), rng.randrange(16)) for _ in range(70)}
+             if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = truss_numbers(spark, df, num_partitions=4)
+    assert full.converged
+    fixed = truss_numbers(spark, df, num_partitions=4,
+                          fixed_rounds=full.rounds + 2)
+    assert not fixed.converged  # nothing checked it, by design
+    want = {(r["a"], r["b"]): r["truss"] for r in full.trussness.collect()}
+    got = {(r["a"], r["b"]): r["truss"] for r in fixed.trussness.collect()}
+    assert got == want

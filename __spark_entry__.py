@@ -636,11 +636,29 @@ def _q_degree_assortativity(spark, sf):
     return degree_assortativity(_co_edges(spark, sf))
 
 
-def _q_knn_profile(spark, sf):
-    # average-neighbor-degree profile knn(k) per degree value
-    from pargraph_spark.operators.graphstats import avg_neighbor_degree_profile
+RIDGE_LAM = 1  # integer ridge term on every XᵀX diagonal entry
 
-    return avg_neighbor_degree_profile(_co_edges(spark, sf))
+
+def _q_doc_regression(spark, sf):
+    # ridge fit predicting BPE-ish token count from (n_chars, whitespace
+    # token count): exact decimal(38,0) moment sums -> Bareiss integer
+    # determinants -> one IEEE division per coefficient (float-policy
+    # tier 2 -> exact cross-engine hash). Rotated into the knn_profile
+    # slot — knn's joint-degree-pair intermediate is computed inside the
+    # still-oracled degree_assortativity; knn stays pytest-covered
+    # (test_graphstats.py) per the VERDICT r4 #2 rotation rule
+    from pargraph_spark.operators.regression import ridge_fit
+
+    docs = _t(spark, sf, "documents")
+    res = ridge_fit(
+        spark,
+        docs,
+        [F.col("n_chars"), token_count(F.col("text"))],
+        bpe_token_count(F.col("text")),
+        lam=RIDGE_LAM,
+        feature_names=["n_chars", "n_tokens"],
+    )
+    return res.model
 
 
 def _q_sssp_4rounds(spark, sf):
@@ -1207,7 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "neighbor_sample_2hop": _q_neighbor_sample,
         "degree_assortativity": _q_degree_assortativity,
-        "knn_profile": _q_knn_profile,
+        "doc_regression": _q_doc_regression,
         "top_terms": _q_top_terms,
         "matching": _q_matching,
         "node2vec_walks_3steps": _q_node2vec_walks,
@@ -1765,6 +1783,45 @@ def _diameter_sql(rounds: int) -> str:
         + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
         f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
         f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
+    )
+
+
+def _doc_regression_sql(lam: int) -> str:
+    """Ridge normal equations mirroring operators.regression.ridge_fit on
+    the documents features: exact HUGEINT moment sums, 3×3 Cramer
+    determinants in integer arithmetic, one int→double cast + IEEE
+    division per coefficient (identical rounding in both engines)."""
+    return (
+        "WITH d AS MATERIALIZED (SELECT n_chars, "
+        "lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')) AS n "
+        "FROM documents), "
+        "f AS MATERIALIZED (SELECT CAST(n_chars AS HUGEINT) AS x1, "
+        "CAST(CASE WHEN length(n) = 0 THEN 0 ELSE len(string_split(n, ' ')) END "
+        "AS HUGEINT) AS x2, "
+        "CAST(len(regexp_extract_all(n, '[a-z0-9]+|[^a-z0-9\\s]')) AS HUGEINT) AS y "
+        "FROM d), "
+        "s AS (SELECT CAST(count(*) AS HUGEINT) AS s00, sum(x1) AS s01, "
+        "sum(x2) AS s02, sum(x1*x1) AS s11, sum(x1*x2) AS s12, "
+        "sum(x2*x2) AS s22, sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2 "
+        "FROM f), "
+        f"a AS (SELECT s00 + {lam} AS a00, s01 AS a01, s02 AS a02, "
+        f"s01 AS a10, s11 + {lam} AS a11, s12 AS a12, "
+        f"s02 AS a20, s12 AS a21, s22 + {lam} AS a22, b0, b1, b2 FROM s), "
+        "dets AS (SELECT "
+        "a00*(a11*a22 - a12*a21) - a01*(a10*a22 - a12*a20) "
+        "+ a02*(a10*a21 - a11*a20) AS dd, "
+        "b0*(a11*a22 - a12*a21) - a01*(b1*a22 - a12*b2) "
+        "+ a02*(b1*a21 - a11*b2) AS d0, "
+        "a00*(b1*a22 - a12*b2) - b0*(a10*a22 - a12*a20) "
+        "+ a02*(a10*b2 - b1*a20) AS d1, "
+        "a00*(a11*b2 - b1*a21) - a01*(a10*b2 - b1*a20) "
+        "+ b0*(a10*a21 - a11*a20) AS d2 FROM a) "
+        "SELECT 'intercept' AS feature, "
+        "CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) AS coef FROM dets "
+        "UNION ALL SELECT 'n_chars', "
+        "CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) FROM dets "
+        "UNION ALL SELECT 'n_tokens', "
+        "CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) FROM dets"
     )
 
 
@@ -2843,7 +2900,9 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers": _core_numbers_sql(CORE_ROUNDS),
         "neighbor_sample_2hop": _neighbor_sample_sql(NS_SEED_MOD, NS_FANOUTS),
         "degree_assortativity": _assortativity_sql(),
-        "knn_profile": _knn_profile_sql(),
+        # knn_profile rotated out (its joint-degree-pair intermediate is
+        # computed inside degree_assortativity); ridge fit takes the slot
+        "doc_regression": _doc_regression_sql(RIDGE_LAM),
         "top_terms": _top_terms_sql(3),
         # reach_kmv rotated out (harmonic_kmv runs the same propagation)
         "matching": _matching_sql(MATCH_ROUNDS),

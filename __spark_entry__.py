@@ -461,7 +461,6 @@ RW_WALKS = 2
 RW_LEN = 3
 SCORE_S = 80        # sf0.01 cascade: 4 peel rounds, 1889-vertex core
 SCORE_ROUNDS = 7    # fixed rounds, identity past the fixpoint
-MIS_ROUNDS = 8      # sf0.01 Luby exhausts in 6 rounds; +2 identity margin
 HARM_HOPS = 3
 HARM_K = 8
 
@@ -516,7 +515,6 @@ def _q_coloring(spark, sf):
     return res.colors
 
 
-DIAM_ROUNDS = 6    # sf0.01 eccentricities are 3; identity past convergence
 
 
 LM_COUNT = 8   # landmarks: 8 smallest vertices by md5('lm|id')
@@ -549,8 +547,6 @@ def _q_salsa(spark, sf):
     return res.scores
 
 
-TRUSS_K = 12       # sf0.01 cascade: 5 peel rounds, 1127-edge truss
-TRUSS_ROUNDS = 7   # fixed rounds, identity past the fixpoint
 
 
 TRUSSN_BRIDGE_MOD = 11  # denser bridges than SCAN's 101: mixed supports
@@ -1716,76 +1712,6 @@ def _score_core_sql(s: int, rounds: int) -> str:
     )
 
 
-def _mis_sql(rounds: int, salt: str = "mis") -> str:
-    """Unrolled deterministic Luby rounds mirroring operators.mis:
-    priority = md5('salt|round|id')[:16] || '-' || lpad(id); a vertex
-    wins iff it has no undecided neighbor or beats their min priority;
-    winners + neighbors leave. Rounds past exhaustion are identity."""
-    m = "AS MATERIALIZED"
-    parts = [E_SQL, SYM_SQL,
-             f"und0 {m} (SELECT DISTINCT u AS id FROM sym)",
-             f"g0 {m} (SELECT u, v FROM sym)"]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        pk = (f"concat(substr(md5('{salt}|{r}|' || CAST(id AS VARCHAR)), 1, 16), "
-              "'-', lpad(CAST(id AS VARCHAR), 20, '0'))")
-        parts.append(f"pk{r} {m} (SELECT id, {pk} AS pk FROM und{p})")
-        parts.append(
-            f"nm{r} {m} (SELECT s.u AS id, min(p.pk) AS nmin "
-            f"FROM g{p} s JOIN pk{r} p ON s.v = p.id GROUP BY s.u)"
-        )
-        parts.append(
-            f"win{r} {m} (SELECT k.id FROM pk{r} k LEFT JOIN nm{r} nm ON k.id = nm.id "
-            "WHERE nm.nmin IS NULL OR k.pk < nm.nmin)"
-        )
-        parts.append(
-            f"rem{r} {m} (SELECT id FROM win{r} UNION "
-            f"SELECT s.v FROM g{p} s JOIN win{r} w ON s.u = w.id)"
-        )
-        parts.append(
-            f"und{r} {m} (SELECT id FROM und{p} WHERE id NOT IN (SELECT id FROM rem{r}))"
-        )
-        parts.append(
-            f"g{r} {m} (SELECT u, v FROM g{p} WHERE u NOT IN (SELECT id FROM rem{r}) "
-            f"AND v NOT IN (SELECT id FROM rem{r}))"
-        )
-    union = " UNION ALL ".join(f"SELECT id FROM win{r}" for r in range(1, rounds + 1))
-    return "WITH " + ", ".join(parts) + " " + union
-
-
-def _diameter_sql(rounds: int) -> str:
-    """Unrolled double-sweep BFS mirroring operators.bfs.diameter_2sweep:
-    min-dist relaxation over sym (weight-1 min-plus), farthest-vertex
-    re-seed with (dist desc, id asc) tie-break; rounds past the
-    eccentricity are identity."""
-    m = "AS MATERIALIZED"
-
-    def sweep(tag: str, seed_expr: str) -> list[str]:
-        parts = [f"{tag}0 {m} (SELECT {seed_expr} AS id, 0 AS dist)"]
-        for t in range(1, rounds + 1):
-            p = t - 1
-            parts.append(
-                f"{tag}{t} {m} (SELECT id, min(dist) AS dist FROM ("
-                f"SELECT id, dist FROM {tag}{p} "
-                f"UNION ALL SELECT s.v AS id, d.dist + 1 AS dist "
-                f"FROM sym s JOIN {tag}{p} d ON s.u = d.id) GROUP BY id)"
-            )
-        return parts
-
-    parts = [E_SQL, SYM_SQL]
-    parts += sweep("d1_", "(SELECT LEAST(min(src), min(dst)) FROM e)")
-    parts.append(
-        f"farv {m} (SELECT id FROM d1_{rounds} ORDER BY dist DESC, id ASC LIMIT 1)"
-    )
-    parts += sweep("d2_", "(SELECT id FROM farv)")
-    return (
-        "WITH " + ", ".join(parts)
-        + f" SELECT CAST((SELECT max(dist) FROM d2_{rounds}) AS BIGINT) AS lower_bound, "
-        f"CAST((SELECT id FROM farv) AS BIGINT) AS sweep1_far, "
-        f"CAST((SELECT count(*) FROM d2_{rounds}) AS BIGINT) AS n_reached"
-    )
-
-
 def _doc_regression_sql(lam: int) -> str:
     """Ridge normal equations mirroring operators.regression.ridge_fit on
     the documents features: exact HUGEINT moment sums, 3×3 Cramer
@@ -2028,38 +1954,6 @@ def _salsa_sql(iters: int) -> str:
     )
 
 
-def _ktruss_sql(k: int, rounds: int) -> str:
-    """Unrolled truss peel mirroring operators.triangles.ktruss: each
-    round enumerates triangles a<b<c over the surviving canonical edge
-    set, credits the three edges, drops support < k-2. Support counts are
-    enumeration-order-invariant, so this id-ordered enumeration matches
-    the Spark side's degree-ordered one exactly."""
-    m = "AS MATERIALIZED"
-    t = k - 2
-    parts = [E_SQL, f"g0 {m} (SELECT src AS a, dst AS b FROM e)"]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        parts.append(
-            f"tri{r} {m} (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
-            f"FROM g{p} e1 JOIN g{p} e2 ON e2.a = e1.b "
-            f"JOIN g{p} e3 ON e3.a = e1.a AND e3.b = e2.b)"
-        )
-        parts.append(
-            f"sup{r} {m} (SELECT a, b, count(*) AS c FROM ("
-            f"SELECT x AS a, y AS b FROM tri{r} "
-            f"UNION ALL SELECT y, z FROM tri{r} "
-            f"UNION ALL SELECT x, z FROM tri{r}) GROUP BY a, b)"
-        )
-        parts.append(
-            f"g{r} {m} (SELECT g.a, g.b, s.c FROM g{p} g "
-            f"JOIN sup{r} s ON g.a = s.a AND g.b = s.b WHERE s.c >= {t})"
-        )
-    return (
-        "WITH " + ", ".join(parts)
-        + f" SELECT a, b, CAST(c AS BIGINT) AS support FROM g{rounds}"
-    )
-
-
 def _harmonic_kmv_sql(hops: int, k: int) -> str:
     """Per-hop KMV estimates (the _reach_kmv_sql rounds) combined by the
     identical left-associated (e_t − e_{t−1})/t chain."""
@@ -2146,15 +2040,6 @@ def _assortativity_sql() -> str:
         "/ (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
         "* sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) "
         f"* {_G30}) / {_G30} AS rq FROM agg"
-    )
-
-
-def _knn_profile_sql() -> str:
-    return (
-        f"WITH {E_SQL}, {SYM_SQL}, {_GRAPHSTATS_J_SQL} "
-        "SELECT du AS deg, CAST(count(*) AS BIGINT) AS n_endpoints, "
-        "FLOOR((CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) "
-        f"* {_G30}) / {_G30} AS knnq FROM j GROUP BY du"
     )
 
 

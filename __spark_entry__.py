@@ -355,25 +355,37 @@ REACH_K = 8
 
 
 BF_CAP = 32  # butterfly right-vertex (part) degree cap
+TR_ROUNDS = 4  # temporal-reach relaxation rounds (paths of <= 4 handoffs)
+TR_SEED_CAP = 10  # seed users: user_id < cap
+TR_ACTIVATION = "2024-01-16 00:00:00"  # seeds go live mid-stream (median ts)
 
 
-def _q_butterflies(spark, sf):
-    # bipartite 4-cycle counts over the NATURAL order<->part incidence
-    # (no derived projection): per-order butterfly count. Rotated into
-    # the minhash_lsh_pairs slot — that whole pipeline (shingles ->
-    # signatures -> bands -> candidate pairs) runs inside dedup_groups,
-    # which stays oracled (VERDICT r4 #2 rotation rule).
-    from pargraph_spark.operators.butterflies import butterfly_counts
+def _q_temporal_reach(spark, sf):
+    # time-respecting earliest arrival over the event handoff graph
+    # (actor -> next actor on the same event_type, stamped with the later
+    # event's ts): which users could have seen content seeded at the
+    # TR_ACTIVATION instant, and when earliest. Times stay TIMESTAMP_NTZ
+    # end-to-end (no epoch cast -> no session-timezone reinterpretation;
+    # min/compare are exact), formatted to strings for the cross-engine
+    # hash (the event_sessionize precedent). Rotated into the butterflies
+    # slot — the per-edge butterfly-support counting runs inside bitruss's
+    # oracled initial support pass (VERDICT r4 #2 rotation rule);
+    # butterflies stays pytest-covered (test_butterflies.py).
+    from pargraph_spark.operators.temporal import earliest_arrival, handoff_edges
 
-    li = _t(spark, sf, "lineitem").select(
-        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    ev = _t(spark, sf, "events")
+    te = handoff_edges(ev, "event_type", "user_id", "ts",
+                       tiebreak_col="event_id")
+    seeds = (
+        ev.select(F.col("user_id").alias("id"))
+        .where(F.col("id") < TR_SEED_CAP)
+        .distinct()
+        .withColumn("arr", F.lit(TR_ACTIVATION).cast("timestamp_ntz"))
     )
-    pp = butterfly_counts(li, hot_cap=BF_CAP).per_pair
-    return (
-        pp.select(F.col("a").alias("id"), "bf")
-        .unionByName(pp.select(F.col("b").alias("id"), "bf"))
-        .groupBy("id")
-        .agg(F.sum("bf").alias("bf"))
+    res = earliest_arrival(spark, te, seeds, fixed_rounds=TR_ROUNDS)
+    return res.arrivals.select(
+        "id",
+        F.date_format("arr", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("arr"),
     )
 
 
@@ -1237,7 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "exact_dedup": _q_exact_dedup,
         "simhash": _q_simhash,
-        "butterflies": _q_butterflies,
+        "temporal_reach": _q_temporal_reach,
         "span_dup_stats": _q_span_dup_stats,
         "dedup_groups": _q_dedup_groups,
         "media_features": _q_media_features,
@@ -2096,6 +2108,36 @@ def _core_numbers_sql(rounds: int) -> str:
     )
 
 
+def _temporal_reach_sql(rounds: int, seed_cap: int, activation: str) -> str:
+    """Unrolled earliest-arrival relaxation mirroring operators.temporal
+    (Wu et al. VLDB'14): a{k}(v) = min time a time-respecting path of
+    <= k handoffs from the seed set reaches v. Handoff edges via the
+    identical lag window; times stay TIMESTAMP (naive) end-to-end and are
+    strftime'd for the hash — no epoch conversion on either engine."""
+    m = "AS MATERIALIZED"
+    parts = [
+        f"te {m} (SELECT src, dst, t FROM ("
+        "SELECT lag(user_id) OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id) AS src, user_id AS dst, ts AS t "
+        "FROM events) WHERE src IS NOT NULL)",
+        f"a0 {m} (SELECT DISTINCT user_id AS id, "
+        f"TIMESTAMP '{activation}' AS arr "
+        f"FROM events WHERE user_id < {seed_cap})",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"a{k} {m} (SELECT id, min(arr) AS arr FROM ("
+            f"SELECT id, arr FROM a{k - 1} UNION ALL "
+            f"SELECT te.dst AS id, te.t AS arr FROM te "
+            f"JOIN a{k - 1} f ON te.src = f.id AND te.t >= f.arr"
+            ") GROUP BY id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, strftime(arr, '%Y-%m-%d %H:%M:%S.%f') AS arr FROM a{rounds}"
+    )
+
+
 def _sssp_sql(rounds: int) -> str:
     """Unrolled min-plus Bellman-Ford CTE chain mirroring operators.sssp
     over the symmetrized weighted co-occurrence graph (parallel edges keep
@@ -2915,21 +2957,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": _simhash_sql(),
         # minhash_lsh_pairs rotated out (full pipeline runs inside
-        # dedup_groups); bipartite butterflies take the slot
-        "butterflies": (
-            "WITH be AS MATERIALIZED (SELECT DISTINCT l_orderkey AS u, "
-            "l_partkey AS w FROM lineitem), "
-            "degw AS MATERIALIZED (SELECT w, count(*) AS d FROM be GROUP BY w), "
-            f"kept AS MATERIALIZED (SELECT be.u, be.w FROM be "
-            f"JOIN degw ON degw.w = be.w WHERE degw.d <= {BF_CAP}), "
-            "p AS MATERIALIZED (SELECT k1.u AS a, k2.u AS b, "
-            "CAST(count(*) AS BIGINT) AS c FROM kept k1 "
-            "JOIN kept k2 ON k1.w = k2.w AND k1.u < k2.u GROUP BY k1.u, k2.u), "
-            "pp AS (SELECT a, b, CAST(c * (c - 1) / 2 AS BIGINT) AS bf "
-            "FROM p WHERE c >= 2) "
-            "SELECT id, CAST(sum(bf) AS BIGINT) AS bf FROM (SELECT a AS id, bf FROM pp "
-            "UNION ALL SELECT b, bf FROM pp) GROUP BY id"
-        ),
+        # dedup_groups); butterflies rotated out in turn (per-edge
+        # butterfly-support counting runs inside bitruss's oracled initial
+        # support pass); temporal reach takes the slot
+        "temporal_reach": _temporal_reach_sql(
+            TR_ROUNDS, TR_SEED_CAP, TR_ACTIVATION),
         # jaccard_pairs rotated out: its full pipeline runs inside
         # dedup_groups (still oracled below); span_dup_stats takes the slot
         "span_dup_stats": (

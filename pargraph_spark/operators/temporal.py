@@ -1,0 +1,143 @@
+"""Time-respecting reachability: single/multi-source earliest arrival.
+
+On temporal graphs — edges stamped with a time t — plain reachability
+overcounts: u reaches w through v only if the v→w edge fires AFTER u
+arrived at v. The standard primitive (Wu et al., VLDB'14 "Path problems
+in temporal graphs") is EARLIEST ARRIVAL: arr(v) = the minimum time any
+time-respecting path from the seed set can reach v, via the fixpoint
+
+    arr(v) = min( seed(v),  min over edges (u, v, t), t >= arr(u) of t )
+
+which a frontier iteration solves exactly — keeping the minimum arrival
+per vertex is safe because an earlier arrival can traverse every edge a
+later one can (the relaxation is monotone non-increasing and converges
+in ≤ longest-temporal-path rounds). Link-graph uses: information
+cascade/contamination tracing through a crawl log ("which hosts could
+have seen content X after time T"), influence reach over interaction
+events.
+
+Exactness: times may be any totally-ordered type (int64 epoch micros or
+TIMESTAMP_NTZ — the latter avoids engine/session timezone reinterpretation
+entirely); every step is a min over input values, nothing is derived, so
+the DuckDB oracle (unrolled relaxation rounds) matches bit-for-bit.
+
+Scale shape per round: ONE equi-hash join — the temporal edge table is
+persisted once, hash-partitioned on src, and probed in place by the
+current arrival table; the time guard t >= arr(u) is a post-join FILTER
+on the equi-join row (no range-join machinery, no theta join), followed
+by a min-aggregate keyed dst with map-side partial combine. State is
+one (id, arr) row per reached vertex. Edges never re-exchange.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+
+
+@dataclass
+class TemporalReachResult:
+    arrivals: DataFrame  # (id, arr) — reached vertices, earliest arrival
+    rounds: int
+    converged: bool
+    metrics: JobMetrics = field(default_factory=lambda: JobMetrics("temporal_reach"))
+
+
+def earliest_arrival(
+    spark: SparkSession,
+    tedges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+    fixed_rounds: int | None = None,
+) -> TemporalReachResult:
+    """tedges(src, dst, t) + seeds(id[, arr]) → (id, arr).
+
+    t/arr may be any orderable type — int64 epoch micros or TIMESTAMP_NTZ
+    (kept raw: no epoch cast, so no session-timezone reinterpretation).
+    A seed without an `arr` column is active from time 0 (numeric t only).
+    Unreached vertices are absent from the output (bfs.py convention).
+    fixed_rounds runs exactly that many relaxation rounds with no
+    convergence jobs (oracle parity; identity past the fixpoint)."""
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    te = tedges.select("src", "dst", "t").repartition(P, "src").persist()
+    te.count()
+    if "arr" in seeds.columns:
+        arr = seeds.select("id", "arr")
+    else:
+        arr = seeds.select("id", F.lit(0).cast("long").alias("arr"))
+    arr = arr.groupBy("id").agg(F.min("arr").alias("arr")).localCheckpoint(eager=True)
+    metrics = JobMetrics("temporal_reach")
+    rounds, converged = 0, False
+    n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        t0 = time.monotonic()
+        relax = (
+            te.join(arr.withColumnRenamed("id", "src"), "src")
+            .where(F.col("t") >= F.col("arr"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("t").alias("arr"))
+        )
+        new_arr = (
+            arr.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+        if fixed_rounds is None:
+            n_changed = (
+                new_arr.join(
+                    arr.select("id", F.col("arr").alias("_old")), "id", "left"
+                )
+                .where(F.col("_old").isNull() | (F.col("arr") < F.col("_old")))
+                .count()
+            )
+        else:
+            n_changed = float("nan")
+        arr.unpersist()
+        arr = new_arr
+        metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
+                                    0, float(n_changed)))
+        if fixed_rounds is None and n_changed == 0:
+            converged = True
+            break  # identity round: not counted (kcore semantics)
+        rounds = r
+    te.unpersist()
+    return TemporalReachResult(arr.select("id", "arr"), rounds, converged, metrics)
+
+
+def handoff_edges(
+    events: DataFrame,
+    key_col: str,
+    actor_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Events → temporal handoff graph: for each interaction key, link
+    each event's actor to the NEXT event's actor on that key, stamped
+    with the later event's time — (src, dst, t) with t the raw ts_col
+    value (TIMESTAMP_NTZ stays NTZ: no epoch conversion, timezone-proof).
+    Linear in events (one lag window per key), no quadratic
+    same-key pair blowup; self-handoffs are kept (they only tighten
+    arrival times on the actor itself). tiebreak_col makes the per-key
+    order total when timestamps can collide (pass the event id)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else [F.col(actor_col)]
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        events.select(
+            F.col(actor_col).alias("dst"),
+            F.lag(F.col(actor_col)).over(w).alias("src"),
+            F.col(ts_col).alias("t"),
+        )
+        .where(F.col("src").isNotNull())
+        .select("src", "dst", "t")
+    )

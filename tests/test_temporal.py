@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from pargraph_spark.operators.temporal import earliest_arrival, handoff_edges
+
+TE_SCHEMA = "src long, dst long, t long"
+
+
+def _oracle(tedges, seeds):
+    """Brute-force earliest arrival: Bellman-Ford-style fixpoint."""
+    arr = dict(seeds)
+    out = defaultdict(list)
+    for s, d, t in tedges:
+        out[s].append((d, t))
+    changed = True
+    while changed:
+        changed = False
+        for u, a in list(arr.items()):
+            for v, t in out[u]:
+                if t >= a and (v not in arr or t < arr[v]):
+                    arr[v] = t
+                    changed = True
+    return arr
+
+
+def test_earliest_arrival_vs_brute(spark):
+    rng = random.Random(23)
+    tedges = [
+        (rng.randrange(30), rng.randrange(30), rng.randrange(100))
+        for _ in range(150)
+    ]
+    seeds = [(0, 0), (7, 10)]
+    res = earliest_arrival(
+        spark,
+        spark.createDataFrame(tedges, TE_SCHEMA),
+        spark.createDataFrame(seeds, "id long, arr long"),
+    )
+    assert res.converged
+    got = {r["id"]: r["arr"] for r in res.arrivals.collect()}
+    assert got == _oracle(tedges, seeds)
+
+
+def test_earliest_arrival_respects_time_order(spark):
+    # 1 -(t=5)-> 2 -(t=3)-> 3: the 2->3 edge fires BEFORE arrival at 2,
+    # so 3 is unreachable; a later 2->3 edge at t=9 is usable
+    tedges = [(1, 2, 5), (2, 3, 3), (2, 3, 9)]
+    res = earliest_arrival(
+        spark,
+        spark.createDataFrame(tedges, TE_SCHEMA),
+        spark.createDataFrame([(1,)], "id long"),
+    )
+    got = {r["id"]: r["arr"] for r in res.arrivals.collect()}
+    assert got == {1: 0, 2: 5, 3: 9}
+
+
+def test_earliest_arrival_fixed_rounds_identity(spark):
+    tedges = [(i, i + 1, 10 * i) for i in range(6)]
+    df = spark.createDataFrame(tedges, TE_SCHEMA)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    full = earliest_arrival(spark, df, seeds)
+    fixed = earliest_arrival(spark, df, seeds, fixed_rounds=full.rounds + 2)
+    want = {r["id"]: r["arr"] for r in full.arrivals.collect()}
+    got = {r["id"]: r["arr"] for r in fixed.arrivals.collect()}
+    assert got == want and full.converged and not fixed.converged
+
+
+def test_handoff_edges_linear_chain(spark):
+    rows = [
+        # key 1: users 10 -> 20 -> 10; key 2: users 30 -> 40
+        (1, 10, "2024-01-01 00:00:00", 100),
+        (1, 20, "2024-01-01 00:01:00", 101),
+        (1, 10, "2024-01-01 00:02:00", 102),
+        (2, 30, "2024-01-01 00:00:30", 103),
+        (2, 40, "2024-01-01 00:03:00", 104),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, user long, ts string, event_id long"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = sorted(
+        (r["src"], r["dst"]) for r in
+        handoff_edges(df, "k", "user", "ts", tiebreak_col="event_id").collect()
+    )
+    assert got == [(10, 20), (20, 10), (30, 40)]

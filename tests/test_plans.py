@@ -429,3 +429,34 @@ def test_pq_adc_topk_is_window_group_limit(spark):
     plan = _plan(pq_adc_topk(codes, queries, model, topk=5))
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_temporal_relax_probes_copartitioned_edges(spark):
+    # the earliest-arrival relaxation join must probe the persisted
+    # src-partitioned temporal edge table in place: no Exchange over the
+    # edge relation inside a round (the time guard is a post-join filter
+    # on the equi-join row, not range-join machinery)
+    te = (
+        spark.createDataFrame(
+            [(i, i + 1, 10 * i) for i in range(40)], "src long, dst long, t long"
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    te.count()
+    arr = spark.createDataFrame([(0, 0)], "id long, arr long").localCheckpoint(
+        eager=True
+    )
+    relax = (
+        te.join(arr.withColumnRenamed("id", "src"), "src")
+        .where(F.col("t") >= F.col("arr"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("t").alias("arr"))
+    )
+    plan = _plan(relax)
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange hashpartitioning(src" not in prefix, plan
+    # min-combine is partial (map-side) before the dst shuffle
+    assert "partial_min" in plan or "partial min" in plan.lower(), plan
+    te.unpersist()

@@ -141,3 +141,87 @@ def handoff_edges(
         .where(F.col("src").isNotNull())
         .select("src", "dst", "t")
     )
+
+
+def temporal_motifs(
+    spark: SparkSession,
+    tedges: DataFrame,
+    delta: int,
+    motif: str = "cycle",
+    hot_cap: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """δ-bounded 3-edge temporal motif counts (Paranjape et al. WSDM'17,
+    "Motifs in temporal networks"): ordered edge triples with strictly
+    increasing times t1 < t2 < t3 <= t1 + delta over three distinct
+    vertices. Two flagship shapes:
+
+      cycle: u→v (t1), v→w (t2), w→u (t3)   — cyclic closure
+      ffl:   u→v (t1), v→w (t2), u→w (t3)   — feed-forward cascade
+
+    Returns one row per participating first-edge source u:
+    (id, motifs:long) — exact integer counts (ties in timestamps never
+    count: strict ordering keeps the count enumeration-invariant, so a
+    brute-force oracle matches bit-for-bit).
+
+    Scale shape: two equi-hash joins, never a range join — the wedge
+    join keys on the shared middle vertex, the closing join on BOTH
+    remaining endpoints, with the δ window as post-join filters; the
+    wedge fan-out is bounded by hot_cap on the middle vertex's temporal
+    degree (the butterflies.py hot-cap discipline: hubs are capped and
+    reported, not silently exploded). Edges hash-partition once on the
+    wedge key and are probed in place by both joins.
+
+    Cites reference behavior only as absent: the reference engine has no
+    temporal operators; this extends the same events surface that
+    earliest_arrival serves.
+    """
+    if motif not in ("cycle", "ffl"):
+        raise ValueError(f"motif must be 'cycle' or 'ffl', got {motif!r}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    te = tedges.select("src", "dst", "t").where(F.col("src") != F.col("dst"))
+    if hot_cap is not None:
+        deg = (
+            te.select(F.col("src").alias("id"))
+            .unionByName(te.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") > hot_cap)
+            .select("id")
+        )
+        te = (
+            te.join(F.broadcast(deg.withColumnRenamed("id", "src")),
+                    "src", "left_anti")
+            .join(F.broadcast(deg.withColumnRenamed("id", "dst")),
+                  "dst", "left_anti")
+        )
+    e = te.repartition(P, "src").persist()
+    e.count()
+    # wedge u→v→w: join on the middle vertex v = e1.dst = e2.src
+    wedge = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                 F.col("t").alias("t1"))
+        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("w"),
+                       F.col("t").alias("t2")), "v")
+        .where(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.lit(delta))
+            & (F.col("w") != F.col("u"))
+        )
+    )
+    if motif == "cycle":
+        close = e.select(F.col("src").alias("w"), F.col("dst").alias("u"),
+                         F.col("t").alias("t3"))
+    else:  # ffl
+        close = e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("t").alias("t3"))
+    out = (
+        wedge.join(close, ["u", "w"])
+        .where(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + F.lit(delta))
+        )
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.count("*").alias("motifs"))
+    )
+    return out

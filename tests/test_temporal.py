@@ -83,3 +83,62 @@ def test_handoff_edges_linear_chain(spark):
         handoff_edges(df, "k", "user", "ts", tiebreak_col="event_id").collect()
     )
     assert got == [(10, 20), (20, 10), (30, 40)]
+
+
+def _motif_oracle(tedges, delta, motif):
+    """Brute-force: enumerate ordered edge triples."""
+    from collections import Counter
+
+    counts = Counter()
+    es = [(s, d, t) for s, d, t in tedges if s != d]
+    for u, v, t1 in es:
+        for v2, w, t2 in es:
+            if v2 != v or not (t1 < t2 <= t1 + delta) or w == u:
+                continue
+            for a, b, t3 in es:
+                if not (t2 < t3 <= t1 + delta):
+                    continue
+                if motif == "cycle" and (a, b) == (w, u):
+                    counts[u] += 1
+                if motif == "ffl" and (a, b) == (u, w):
+                    counts[u] += 1
+    return dict(counts)
+
+
+def test_temporal_motifs_vs_brute(spark):
+    from pargraph_spark.operators.temporal import temporal_motifs
+
+    rng = random.Random(31)
+    tedges = [
+        (rng.randrange(12), rng.randrange(12), rng.randrange(40))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(tedges, TE_SCHEMA)
+    for motif in ("cycle", "ffl"):
+        got = {
+            r["id"]: r["motifs"]
+            for r in temporal_motifs(spark, df, delta=15, motif=motif).collect()
+        }
+        assert got == _motif_oracle(tedges, 15, motif), motif
+
+
+def test_temporal_motifs_hot_cap_drops_hub_motifs(spark):
+    from pargraph_spark.operators.temporal import temporal_motifs
+
+    # hub 0 participates in every edge; capping its temporal degree
+    # removes all motifs through it but keeps the disjoint triangle
+    tedges = [(0, i, i) for i in range(1, 8)] + [(i, 0, 10 + i) for i in range(1, 8)]
+    tedges += [(20, 21, 1), (21, 22, 2), (22, 20, 3)]
+    df = spark.createDataFrame(tedges, TE_SCHEMA)
+    full = {
+        r["id"]: r["motifs"]
+        for r in temporal_motifs(spark, df, delta=30, motif="cycle").collect()
+    }
+    capped = {
+        r["id"]: r["motifs"]
+        for r in temporal_motifs(
+            spark, df, delta=30, motif="cycle", hot_cap=5
+        ).collect()
+    }
+    assert full == _motif_oracle(tedges, 30, "cycle")
+    assert capped == {20: 1}

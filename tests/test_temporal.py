@@ -142,3 +142,30 @@ def test_temporal_motifs_hot_cap_drops_hub_motifs(spark):
     }
     assert full == _motif_oracle(tedges, 30, "cycle")
     assert capped == {20: 1}
+
+
+def test_earliest_arrival_timestamp_times(spark):
+    # the entry path: TIMESTAMP times end-to-end, no epoch casts
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 100),
+        (1, 20, "2024-01-01 00:01:00", 101),
+        (1, 30, "2024-01-01 00:02:00", 102),
+        (1, 20, "2024-01-01 00:03:00", 103),
+    ]
+    ev = spark.createDataFrame(
+        rows, "k long, user long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    te = handoff_edges(ev, "k", "user", "ts", tiebreak_col="event_id")
+    seeds = ev.select(F.col("user").alias("id")).where(F.col("id") == 10).withColumn(
+        "arr", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    res = earliest_arrival(spark, te, seeds, fixed_rounds=3)
+    got = {r["id"]: str(r["arr"]) for r in res.arrivals.collect()}
+    # 10 seeds at t0; 10->20 at 00:01, 20->30 at 00:02, 30->20 at 00:03
+    assert got == {
+        10: "2024-01-01 00:00:00",
+        20: "2024-01-01 00:01:00",
+        30: "2024-01-01 00:02:00",
+    }

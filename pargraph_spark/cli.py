@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "triangles", "kcore", "corenums",
                                     "truss", "trussnums", "scc", "bowtie",
                                     "katz", "communities", "betweenness",
-                                    "spammass", "densest",
+                                    "spammass", "densest", "temporalreach",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -206,6 +206,40 @@ def main(argv: list[str] | None = None) -> int:
         summary["densest"] = {"best_round": dr.best_round,
                               "best_density": dr.best_density,
                               "rounds": dr.rounds}
+    if args.job == "temporalreach":
+        from pyspark.sql import functions as F
+
+        from pargraph_spark.operators.temporal import (
+            crawl_temporal_edges,
+            earliest_arrival,
+        )
+        from pargraph_spark.sources.pages import read_pages
+
+        pdf = (
+            read_pages(spark, pages, fmt=args.pages_format)
+            if isinstance(pages, str)
+            else pages
+        )
+        te = crawl_temporal_edges(pdf).persist()
+        # seeds: pages crawled in the first day of the crawl window,
+        # active at their own crawl instant (curated seed lists should
+        # use the operator API directly — the spammass convention)
+        t0 = te.agg(F.min("t").alias("m")).collect()[0]["m"]
+        seeds = (
+            te.select(F.col("src").alias("id"), F.col("t").alias("arr"))
+            .where(F.col("arr") <= F.lit(t0) + F.expr("INTERVAL 1 DAY"))
+            .groupBy("id")
+            .agg(F.min("arr").alias("arr"))
+        )
+        tr = earliest_arrival(spark, te, seeds,
+                              max_rounds=max(args.hops, 1),
+                              num_partitions=args.partitions)
+        tr.arrivals.write.mode("overwrite").parquet(
+            f"{args.output}/temporal_reach.parquet")
+        summary["temporalreach"] = {"rounds": tr.rounds,
+                                    "converged": tr.converged,
+                                    "reached": tr.arrivals.count()}
+        te.unpersist()
     if args.job == "reach":
         from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
 

@@ -225,3 +225,30 @@ def temporal_motifs(
         .agg(F.count("*").alias("motifs"))
     )
     return out
+
+
+def crawl_temporal_edges(pages: DataFrame) -> DataFrame:
+    """Pages table → temporal link edges (src, dst, t): each page-level
+    link stamped with the SOURCE page's crawl time (the instant the link
+    was observed). Feeds earliest_arrival for crawl-log cascade tracing:
+    "which pages could have picked up content X after time T" — a link
+    u→v propagates only if v's inbound edges fire at-or-after content
+    arrived on u. Input is latest-crawl-deduped first (sources.pages
+    O1 semantics); ids are the same xxhash64 content hashes as
+    edges.build_edges, so arrivals join directly against every other
+    operator's vertex ids. One string join (edge src_url → page url)
+    then hash projection — E-scale, single shuffle."""
+    from pargraph_spark.operators.edges import edge_urls
+    from pargraph_spark.operators.extract_links import extract_links
+    from pargraph_spark.sources.pages import latest_pages
+
+    lp = latest_pages(pages)
+    eu = edge_urls(extract_links(lp)).dropDuplicates(["src_url", "dst_url"])
+    return eu.join(
+        lp.select(F.col("url").alias("src_url"), F.col("warc_ts").alias("t")),
+        "src_url",
+    ).select(
+        F.xxhash64("src_url").alias("src"),
+        F.xxhash64("dst_url").alias("dst"),
+        "t",
+    )

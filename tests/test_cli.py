@@ -176,3 +176,22 @@ def test_cli_betweenness_spammass_densest_jobs(tmp_path):
     assert os.path.isdir(str(tmp_path / "betweenness" / "betweenness.parquet"))
     assert os.path.isdir(str(tmp_path / "spammass" / "spam_mass.parquet"))
     assert os.path.isdir(str(tmp_path / "densest" / "densest_vertices.parquet"))
+
+
+def test_cli_temporalreach_job(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "tr")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pargraph_spark.cli", "temporalreach",
+         "--synth-pages", "300", "--output", out,
+         "--cores", "2", "--partitions", "4", "--hops", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["temporalreach"]["reached"] > 0, summary
+    assert os.path.isdir(os.path.join(out, "temporal_reach.parquet"))

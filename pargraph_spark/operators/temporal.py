@@ -63,7 +63,15 @@ def earliest_arrival(
     A seed without an `arr` column is active from time 0 (numeric t only).
     Unreached vertices are absent from the output (bfs.py convention).
     fixed_rounds runs exactly that many relaxation rounds with no
-    convergence jobs (oracle parity; identity past the fixpoint)."""
+    convergence jobs (oracle parity; identity past the fixpoint).
+
+    Incremental warm start (the pagerank/cc_incremental discipline): on
+    an edge append E → E ∪ ΔE, pass the previous run's arrivals unioned
+    with the original seeds as `seeds`. Every previous arrival is
+    achievable on the superset graph and relaxation only ever produces
+    achievable times, so the warm fixpoint equals the cold fixpoint over
+    E ∪ ΔE — in rounds bounded by the NEW temporal paths' length, not
+    the whole graph's (test_temporal.py pins warm == cold)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     te = tedges.select("src", "dst", "t").repartition(P, "src").persist()
     te.count()

@@ -169,3 +169,30 @@ def test_earliest_arrival_timestamp_times(spark):
         20: "2024-01-01 00:01:00",
         30: "2024-01-01 00:02:00",
     }
+
+
+def test_earliest_arrival_incremental_warm_start(spark):
+    # append edges, warm-start from the previous arrivals: identical
+    # fixpoint, fewer rounds (the cc_incremental warm == cold pattern)
+    rng = random.Random(41)
+    base = [
+        (rng.randrange(25), rng.randrange(25), rng.randrange(80))
+        for _ in range(120)
+    ]
+    delta = [
+        (rng.randrange(25), 25 + rng.randrange(5), 80 + rng.randrange(20))
+        for _ in range(30)
+    ]
+    seeds = spark.createDataFrame([(0,), (3,)], "id long")
+    prev = earliest_arrival(spark, spark.createDataFrame(base, TE_SCHEMA), seeds)
+    full_df = spark.createDataFrame(base + delta, TE_SCHEMA)
+    cold = earliest_arrival(spark, full_df, seeds)
+    warm_seeds = prev.arrivals.unionByName(
+        seeds.withColumn("arr", __import__("pyspark.sql.functions",
+                                           fromlist=["F"]).lit(0).cast("long"))
+    )
+    warm = earliest_arrival(spark, full_df, warm_seeds)
+    want = {r["id"]: r["arr"] for r in cold.arrivals.collect()}
+    got = {r["id"]: r["arr"] for r in warm.arrivals.collect()}
+    assert got == want
+    assert warm.rounds <= cold.rounds

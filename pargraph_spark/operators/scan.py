@@ -77,6 +77,11 @@ def scan_clusters(
     if p <= 0 or q <= 0 or p > q:
         raise ValueError(f"eps2 must be a rational 0 < p/q <= 1, got {eps2}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    # und is deliberately NOT persisted: measured at sf0.01 the cache
+    # build+scan costs more than recomputing the distinct for each
+    # consumer (65.7s -> 104.5s standalone with a persist here) — the
+    # persist-reused-tables rule pays for tables probed EVERY ROUND of a
+    # loop, not for a handful of differently-pruned DAG consumers
     und = canonical_undirected(edges)
     sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))

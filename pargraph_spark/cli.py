@@ -29,6 +29,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "truss", "trussnums", "scc", "bowtie",
                                     "katz", "communities", "betweenness",
                                     "spammass", "densest", "temporalreach",
+                                    "anchors",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -206,6 +207,23 @@ def main(argv: list[str] | None = None) -> int:
         summary["densest"] = {"best_round": dr.best_round,
                               "best_density": dr.best_density,
                               "rounds": dr.rounds}
+    if args.job == "anchors":
+        from pargraph_spark.operators.anchors import (
+            anchor_edges,
+            inbound_anchor_topk,
+        )
+        from pargraph_spark.sources.pages import latest_pages, read_pages
+
+        pdf = (
+            read_pages(spark, pages, fmt=args.pages_format)
+            if isinstance(pages, str)
+            else pages
+        )
+        top = inbound_anchor_topk(anchor_edges(latest_pages(pdf)),
+                                  k=max(args.k, 1)).persist()
+        top.write.mode("overwrite").parquet(f"{args.output}/anchors.parquet")
+        summary["anchors"] = {"k": max(args.k, 1), "rows": top.count()}
+        top.unpersist()
     if args.job == "temporalreach":
         from pyspark.sql import functions as F
 

@@ -77,3 +77,66 @@ def extract_text_and_links(html: bytes | str | None) -> tuple[str, list[str]]:
     # Head/script/style content is never text (titles are metadata).
     text = " ".join(" ".join(parser._chunks).split())
     return text, parser._links
+
+
+class _AnchorExtractor(HTMLParser):
+    """Anchor-text capture, separate from _Extractor so the byte-identical
+    (text, links) invariant above is untouched. An <a> opening inside an
+    open anchor implicitly closes it (HTML forbids nesting); text inside
+    skip elements is never anchor text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._out: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._href: str | None = None
+        self._chunks: list[str] = []
+
+    def _finalize(self) -> None:
+        if self._href is not None:
+            self._out.append(
+                (self._href, " ".join(" ".join(self._chunks).split()))
+            )
+        self._href, self._chunks = None, []
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in _SKIP_CONTENT and tag not in _VOID:
+            self._skip_depth += 1
+        if tag == "a":
+            self._finalize()
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self._href = value
+                    break
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "a":
+            self._finalize()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and data and self._href is not None:
+            self._chunks.append(data)
+
+
+def extract_anchors(html: bytes | str | None) -> list[tuple[str, str]]:
+    """(href, anchor_text) per <a href> in document order — the pinned
+    pure function shared by the Spark operator and the pytest oracle
+    (the extract_text_and_links determinism policy, applied to anchors).
+    Anchor text is the whitespace-collapsed text between the tag and its
+    close; href-less and nested-implicit-closed anchors follow HTML5
+    recovery. Empty anchor text (image links) is kept: emptiness is
+    signal for link-spam analysis and callers can filter."""
+    if html is None:
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parser = _AnchorExtractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    parser._finalize()
+    return parser._out

@@ -315,3 +315,48 @@ def node2vec_walks(
             ["seed_id", "walk"],
         ).select("seed_id", "walk", "step", "vertex", F.col("_pv").alias("prev"))
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int,
+    count_pairs: bool = True,
+) -> DataFrame:
+    """Walk corpus → skip-gram (center, context) training pairs — the
+    step between random_walks/node2vec_walks and an embedding trainer
+    (DeepWalk treats walks as sentences; pairs are all ordered vertex
+    pairs within `window` steps of each other on the same walk).
+
+    count_pairs=True returns the aggregated (center, context, cnt)
+    co-occurrence table (what a matrix-factorization-style trainer
+    consumes; exact integer counts); False returns the raw pair stream
+    (seed_id, walk, center, context) in corpus multiplicity for SGD-style
+    consumers. Revisits count each time, word2vec semantics.
+
+    Scale shape: one self-join keyed on the walk id (seed_id, walk) —
+    per-row fan-out is <= 2*window and walk ids are unique per walk, so
+    there is no skew key; the count aggregate partial-combines. No
+    vertex-keyed shuffle until the final (center, context) aggregate,
+    whose cardinality is bounded by distinct co-occurring pairs."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        "seed_id", "walk", F.col("step").alias("_i"),
+        F.col("vertex").alias("center"),
+    )
+    b = walks.select(
+        "seed_id", "walk", F.col("step").alias("_j"),
+        F.col("vertex").alias("context"),
+    )
+    pairs = (
+        a.join(b, ["seed_id", "walk"])
+        .where(
+            (F.col("_i") != F.col("_j"))
+            & (F.abs(F.col("_i") - F.col("_j")) <= window)
+        )
+    )
+    if count_pairs:
+        return pairs.groupBy("center", "context").agg(
+            F.count("*").alias("cnt")
+        )
+    return pairs.select("seed_id", "walk", "center", "context")

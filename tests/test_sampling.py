@@ -184,3 +184,53 @@ def test_random_walks_stop_at_sinks(spark):
     rows = random_walks(edf, sdf, num_walks=1, length=5).collect()
     steps = sorted(r["step"] for r in rows)
     assert steps == [0, 1]  # walk: 1 -> 2, then stops
+
+
+def test_skipgram_pairs_vs_brute(spark):
+    from collections import Counter
+
+    from pargraph_spark.operators.sampling import skipgram_pairs
+
+    # hand walk corpus with a revisit (vertex 7 twice in one walk)
+    rows = [
+        (1, 0, 0, 7), (1, 0, 1, 8), (1, 0, 2, 7), (1, 0, 3, 9),
+        (2, 0, 0, 8), (2, 0, 1, 9),
+        (2, 1, 0, 8), (2, 1, 1, 7), (2, 1, 2, 8),
+    ]
+    walks = spark.createDataFrame(
+        rows, "seed_id long, walk long, step long, vertex long"
+    )
+    W = 2
+    brute = Counter()
+    by_walk = {}
+    for s, w, i, v in rows:
+        by_walk.setdefault((s, w), []).append((i, v))
+    for seq in by_walk.values():
+        for i, c in seq:
+            for j, x in seq:
+                if i != j and abs(i - j) <= W:
+                    brute[(c, x)] += 1
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=W).collect()
+    }
+    assert got == dict(brute)
+    raw = skipgram_pairs(walks, window=W, count_pairs=False)
+    assert raw.count() == sum(brute.values())
+
+
+def test_skipgram_pairs_from_random_walks(spark):
+    from pargraph_spark.operators.sampling import random_walks, skipgram_pairs
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(i, (i + 3) % 8) for i in range(8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "id long")
+    walks = random_walks(e, seeds, num_walks=2, length=4)
+    pairs = skipgram_pairs(walks, window=2)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    # symmetric multiset: (a,b) and (b,a) counts are equal by construction
+    got = {(r["center"], r["context"]): r["cnt"] for r in rows}
+    assert all(got[(b, a)] == n for (a, b), n in got.items())

@@ -97,3 +97,50 @@ def common_neighbors_topk(
         cand.withColumn("rn", F.row_number().over(win).cast("long"))
         .where(F.col("rn") <= int(k))
     )
+
+
+def cocitation_topk(
+    edges: DataFrame,
+    k: int = 5,
+    mode: str = "cocitation",
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Directed related-page similarity → (a, b, cnt, rn): for each page
+    a its top-k partners b by
+
+      cocitation (Small'73):  cnt = |{w : w→a and w→b}|  (shared citers)
+      coupling (Kessler'63):  cnt = |{w : a→w and b→w}|  (shared targets)
+
+    the classic "related pages" signals on a link graph (co-citation is
+    what HITS' authority step aggregates one hop of). Exact integer
+    counts; adjacent pairs are KEPT (this is similarity, not link
+    prediction). rn = 1..k per a by (cnt desc, b asc), compiled to
+    WindowGroupLimit. The wedge hazard mirrors common_neighbors_topk:
+    a center w fans out deg(w)² pairs — centers above hot_cap (out-degree
+    for cocitation, in-degree for coupling) are excluded as declared cap
+    semantics, the hot-bucket discipline."""
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError(f"mode must be cocitation|coupling, got {mode!r}")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if mode == "cocitation":
+        adj = e.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    else:
+        adj = e.select(F.col("dst").alias("w"), F.col("src").alias("x"))
+    if hot_cap is not None:
+        cdeg = adj.groupBy("w").agg(F.count("*").alias("_d"))
+        adj = adj.join(cdeg, "w").where(F.col("_d") <= int(hot_cap)).drop("_d")
+    pairs = (
+        adj.select("w", F.col("x").alias("a"))
+        .join(adj.select("w", F.col("x").alias("b")), "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "cnt")
+    )
+    win = Window.partitionBy("a").orderBy(F.desc("cnt"), F.asc("b"))
+    return (
+        both.withColumn("rn", F.row_number().over(win).cast("long"))
+        .where(F.col("rn") <= int(k))
+    )

@@ -310,3 +310,50 @@ def test_linkpred_ra_aa_scores(spark):
     for a, lst in by_a.items():
         assert [t[0] for t in sorted(lst)] == sorted(t[0] for t in lst)
         assert sorted(lst) == sorted(lst, key=lambda t: (t[0],))
+
+
+def test_cocitation_and_coupling_vs_brute(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from pargraph_spark.operators.linkpred import cocitation_topk
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(15), rng.randrange(15)) for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    outs, ins = defaultdict(set), defaultdict(set)
+    for s, d in edges:
+        outs[s].add(d)
+        ins[d].add(s)
+    for mode, nbr in (("cocitation", ins), ("coupling", outs)):
+        brute = Counter()
+        keys = list(nbr.keys())
+        for a in keys:
+            for b in keys:
+                if a < b:
+                    c = len(nbr[a] & nbr[b])
+                    if c:
+                        brute[(a, b)] = c
+        # full ranking with k large: verify counts + per-a ordering
+        rows = cocitation_topk(df, k=100, mode=mode).collect()
+        got = {(r["a"], r["b"]): r["cnt"] for r in rows if r["a"] < r["b"]}
+        assert got == dict(brute), mode
+        by_a = defaultdict(list)
+        for r in rows:
+            by_a[r["a"]].append(r)
+        for a, rs in by_a.items():
+            rs = sorted(rs, key=lambda r: r["rn"])
+            key = [(-r["cnt"], r["b"]) for r in rs]
+            assert key == sorted(key), (mode, a)
+
+
+def test_cocitation_hot_cap_excludes_center(spark):
+    from pargraph_spark.operators.linkpred import cocitation_topk
+
+    # w=0 cites everything (hot center); w=1 cites only 10,11
+    edges = [(0, i) for i in range(10, 18)] + [(1, 10), (1, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = cocitation_topk(df, k=5, mode="cocitation", hot_cap=4).collect()
+    got = {(r["a"], r["b"]): r["cnt"] for r in rows if r["a"] < r["b"]}
+    assert got == {(10, 11): 1}

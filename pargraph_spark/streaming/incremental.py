@@ -23,6 +23,9 @@ on retry — the round-1 bug.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -190,3 +193,116 @@ def stream_span_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_HH_OUT_SCHEMA = "bucket int, item string, count_lb long, dec long, n long"
+_HH_STATE_SCHEMA = "items array<string>, counts array<long>, dec long, n long"
+
+
+def streaming_frequent_items(items: DataFrame, item_col: str = "item",
+                             k: int = 64, buckets: int = 32) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: bounded state over an unbounded
+    item stream (the stream-native tier of operators/heavyhitters.py).
+
+    Items are hash-partitioned into `buckets` groups (pmod(xxhash64(item),
+    buckets)); each group keeps ONE Misra-Gries summary of budget k as
+    GroupState, so total state is exactly buckets*k counters regardless of
+    stream length or distinct-item count. Because the bucket is a function
+    of the item, each item's entire sub-stream hits one summary, and the
+    classic MG guarantee holds PER BUCKET with certified bounds:
+
+      - every item whose true count exceeds n_bucket/(k+1) is reported;
+      - count_lb <= true count <= count_lb + dec (that bucket's decrement
+        total), both maintained exactly in state, not estimated.
+
+    Each trigger emits a full snapshot of every updated bucket (update
+    mode); `n` is monotone per bucket, so the latest snapshot for a bucket
+    is its rows with the maximal n — `latest_frequent_items_snapshot`
+    does that selection on the drained sink table.
+
+    Scale: state buckets*(k) rows; per-trigger work is one dict pass per
+    Arrow batch; no shuffle beyond the bucket hash exchange. Reference has
+    no streaming surface (SURVEY.md section 2.2) — engine extension.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        bucket = int(key[0])
+        if state.exists:
+            s_items, s_counts, dec, n = state.get
+            counters = dict(zip(list(s_items), [int(c) for c in s_counts]))
+            dec, n = int(dec), int(n)
+        else:
+            counters, dec, n = {}, 0, 0
+        for pdf in pdfs:
+            for it in pdf["item"]:
+                if it is None:
+                    continue
+                n += 1
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dec += 1
+                    dead = []
+                    for ky in counters:
+                        counters[ky] -= 1
+                        if counters[ky] == 0:
+                            dead.append(ky)
+                    for ky in dead:
+                        del counters[ky]
+        state.update((list(counters.keys()), list(counters.values()), dec, n))
+        # always include a null-item sentinel: decrement-all can zero out
+        # EVERY counter, and a trigger that emits nothing would leave a
+        # stale earlier snapshot as the bucket's latest
+        m = len(counters)
+        yield pd.DataFrame(
+            {
+                "bucket": [bucket] * (m + 1),
+                "item": list(counters.keys()) + [None],
+                "count_lb": list(counters.values()) + [0],
+                "dec": [dec] * (m + 1),
+                "n": [n] * (m + 1),
+            }
+        )
+
+    return (
+        items.select(
+            F.pmod(F.xxhash64(F.col(item_col)), F.lit(buckets))
+            .cast("int")
+            .alias("bucket"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_HH_OUT_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_frequent_items_snapshot(sink_df: DataFrame) -> DataFrame:
+    """Reduce a drained update-mode sink table to the final summary: per
+    bucket keep the snapshot with the maximal n (n is monotone per bucket),
+    and expose the certified bounds (count_ub = count_lb + bucket dec)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    return (
+        sink_df.withColumn("_mx", F.max("n").over(w))
+        .where((F.col("n") == F.col("_mx")) & F.col("item").isNotNull())
+        .select(
+            "bucket",
+            "item",
+            "count_lb",
+            (F.col("count_lb") + F.col("dec")).alias("count_ub"),
+            F.col("n").alias("bucket_n"),
+        )
+    )

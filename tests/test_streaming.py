@@ -208,3 +208,84 @@ def test_stream_span_counts_windowed(spark, tmp_path):
         assert row["n_occurrences"] == 2
     # t1 window: nothing repeated, and it may not even have closed
     assert all(h == 12 for (_, h) in by_span)
+
+
+def test_streaming_frequent_items_guarantee(spark, tmp_path):
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from pargraph_spark.streaming.events import run_to_memory
+    from pargraph_spark.streaming.incremental import (
+        latest_frequent_items_snapshot,
+        streaming_frequent_items,
+    )
+
+    in_dir = str(tmp_path / "hh_in")
+    ck = str(tmp_path / "hh_ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    rng = random.Random(11)
+    all_items: list[str] = []
+
+    def drop(name, items):
+        all_items.extend(items)
+        spark.createDataFrame(
+            [(x,) for x in items], "item string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, name))
+
+    # three triggers of skewed traffic; hot items recur across triggers
+    for i in range(3):
+        batch = (
+            ["hot_a"] * 1200 + ["hot_b"] * 700
+            + [f"tail_{rng.randrange(3000)}" for _ in range(2000)]
+        )
+        rng.shuffle(batch)
+        drop(f"b{i}", batch)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    k, buckets = 16, 8
+    run_to_memory(
+        streaming_frequent_items(stream, "item", k=k, buckets=buckets),
+        "hh_sink", ck, output_mode="update",
+    )
+    snap = latest_frequent_items_snapshot(spark.table("hh_sink")).collect()
+
+    truth = Counter(all_items)
+    # bucket assignment must match the operator's hash exactly — derive it
+    # with the same Spark expression
+    item_bucket = {
+        r["item"]: r["b"]
+        for r in spark.createDataFrame(
+            [(x,) for x in set(all_items)], "item string"
+        ).select(
+            "item",
+            F.pmod(F.xxhash64("item"), F.lit(buckets)).cast("int").alias("b"),
+        ).collect()
+    }
+    bucket_n = Counter()
+    for it, c in truth.items():
+        bucket_n[item_bucket[it]] += c
+    got = {r["item"]: r for r in snap}
+    # state really is bounded: at most k survivors per bucket
+    per_bucket = Counter(r["bucket"] for r in snap)
+    assert all(v <= k for v in per_bucket.values()), per_bucket
+    # per-bucket totals in the snapshot equal the true bucket sizes
+    for r in snap:
+        assert r["bucket_n"] == bucket_n[r["bucket"]], r
+    # MG guarantee per bucket: every item above n_bucket/(k+1) reported
+    for it, c in truth.items():
+        b = item_bucket[it]
+        if c > bucket_n[b] / (k + 1):
+            assert it in got, (it, c, bucket_n[b])
+    # certified bounds bracket the truth; nothing invented
+    for it, r in got.items():
+        assert it in truth
+        assert r["count_lb"] <= truth[it] <= r["count_ub"], (it, dict(r.asDict()))
+        assert r["count_lb"] >= 1
+    assert {"hot_a", "hot_b"} <= set(got)

@@ -360,3 +360,138 @@ def skipgram_pairs(
             F.count("*").alias("cnt")
         )
     return pairs.select("seed_id", "walk", "center", "context")
+
+
+def negative_samples(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    n_neg: int,
+    salt: str = "neg",
+    max_vocab: int = 1_000_000,
+    drop_collisions: bool = False,
+) -> DataFrame:
+    """Deterministic word2vec-style negative sampling: for every
+    (center, context) training pair draw `n_neg` negatives from the
+    unigram distribution given by `vocab` (vertex, cnt) — the third stage
+    of the walks → skipgram_pairs → trainer-input pipeline (Mikolov
+    NeurIPS'13 SGNS; reference has no trainer-prep surface — engine
+    extension for the LLM-pipeline tier).
+
+    Determinism/exactness (the node2vec discipline, zero floats):
+
+      - the vocabulary is capped to the `max_vocab` hottest entries
+        (cnt desc, vertex asc tie-break — word2vec's min-count/cap
+        practice) and laid out as EXACT integer cumulative intervals
+        [lo, hi) ordered by vertex id, total mass W;
+      - draw i for pair (c, x) is u = toint60(md5('salt|c|x|i')) mod W,
+        and the negative is the unique vertex whose interval contains u,
+        so P(v) == cnt(v)/W exactly (60-bit hash; mod bias <= W/2^60)
+        and the whole output is a pure function of (pairs, vocab, n_neg,
+        salt) — bit-equal in any engine with md5.
+
+    Collisions (negative == center or == context) are word2vec-legal;
+    `drop_collisions=True` filters them (deterministically).
+
+    Scale shape: the capped cumsum vocab is MODEL-SIZED (<= max_vocab
+    rows, built with one top-k sort-limit; the single-partition cumsum
+    window runs over that capped table only, never V-scale). The
+    interval lookup is an EQUI-join, not a range join: each vocab
+    interval is exploded to the fixed-width buckets it overlaps (bucket
+    width B = max(1, W div vocab_size) => <= 2*vocab_size + n replicas
+    total) and each draw probes bucket u div B — a broadcast hash join
+    at any pair-table scale, with the lo <= u < hi check as a post-join
+    filter. Pair-side work is a stateless row-local expression fan-out
+    of n_neg; no pair-keyed shuffle at all.
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    from pyspark.sql import Window
+
+    spark = pairs.sparkSession
+    top = (
+        vocab.select(F.col("vertex").cast("long").alias("vertex"),
+                     F.col("cnt").cast("long").alias("cnt"))
+        .where(F.col("cnt") > 0)
+        .orderBy(F.col("cnt").desc(), F.col("vertex").asc())
+        .limit(max_vocab)
+    )
+    # capped table: the cumsum window is over <= max_vocab rows (model-
+    # sized by contract), so the single-partition window is safe
+    w = Window.orderBy("vertex").rowsBetween(Window.unboundedPreceding, 0)
+    cum = top.select(
+        "vertex", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
+        F.sum("cnt").over(w).alias("hi"),
+    )
+    row = cum.groupBy().agg(
+        F.max("hi").alias("W"), F.count("*").alias("V")
+    ).collect()[0]
+    W, V = int(row["W"] or 0), int(row["V"])
+    if W <= 0:
+        raise ValueError("vocab is empty (or all cnt <= 0)")
+    B = max(1, W // max(V, 1))
+    buckets = cum.select(
+        "vertex", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {B}"),
+                F.expr(f"(hi - 1) div {B}"),
+            )
+        ).alias("_bk"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt),
+                        F.col("center").cast("string"),
+                        F.col("context").cast("string"),
+                        F.col("neg_idx").cast("string"),
+                    ).cast("binary")
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % W
+    )
+    drawn = (
+        pairs.select("center", "context")
+        .withColumn(
+            "neg_idx",
+            F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1)).cast("array<int>")),
+        )
+        .withColumn("_u", u)
+        .withColumn("_bk", F.expr(f"_u div {B}"))
+        .join(F.broadcast(buckets), "_bk")
+        .where((F.col("lo") <= F.col("_u")) & (F.col("_u") < F.col("hi")))
+        .select("center", "context", "neg_idx",
+                F.col("vertex").alias("negative"))
+    )
+    if drop_collisions:
+        drawn = drawn.where(
+            (F.col("negative") != F.col("center"))
+            & (F.col("negative") != F.col("context"))
+        )
+    return drawn
+
+
+def sgns_examples(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    n_neg: int,
+    salt: str = "neg",
+    max_vocab: int = 1_000_000,
+) -> DataFrame:
+    """Complete SGNS trainer input: the positive (center, context, 1)
+    rows unioned with their negative_samples as (center, negative, 0) —
+    one DataFrame a skip-gram-with-negative-sampling trainer consumes
+    directly. Deterministic end to end (see negative_samples)."""
+    pos = pairs.select(
+        "center", "context", F.lit(1).cast("int").alias("label")
+    )
+    neg = negative_samples(pairs, vocab, n_neg, salt, max_vocab).select(
+        "center", F.col("negative").alias("context"),
+        F.lit(0).cast("int").alias("label"),
+    )
+    return pos.unionByName(neg)

@@ -234,3 +234,106 @@ def test_skipgram_pairs_from_random_walks(spark):
     # symmetric multiset: (a,b) and (b,a) counts are equal by construction
     got = {(r["center"], r["context"]): r["cnt"] for r in rows}
     assert all(got[(b, a)] == n for (a, b), n in got.items())
+
+
+def _py_negatives(pair_rows, vocab_counts, n_neg, salt="neg", max_vocab=10**6):
+    """Exact Python replica of negative_samples (md5 + integer intervals)."""
+    top = sorted(vocab_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    top = [(v, c) for v, c in top if c > 0]
+    cum, lo = [], 0
+    for v, c in sorted(top):  # intervals laid out ordered by vertex id
+        cum.append((v, lo, lo + c))
+        lo += c
+    W = lo
+    out = []
+    for c, x in pair_rows:
+        for i in range(n_neg):
+            h = hashlib.md5(f"{salt}|{c}|{x}|{i}".encode()).hexdigest()[:15]
+            u = int(h, 16) % W
+            for v, a, b in cum:
+                if a <= u < b:
+                    out.append((c, x, i, v))
+                    break
+    return sorted(out)
+
+
+def test_negative_samples_exact_vs_python(spark):
+    from collections import Counter
+
+    from pargraph_spark.operators.sampling import negative_samples
+
+    vocab_counts = {1: 50, 2: 25, 3: 12, 4: 6, 5: 3, 6: 2, 7: 1, 8: 1}
+    pair_rows = [(a, b) for a in range(1, 9) for b in range(1, 9) if a != b]
+    pairs = spark.createDataFrame(pair_rows, "center long, context long")
+    vocab = spark.createDataFrame(
+        list(vocab_counts.items()), "vertex long, cnt long"
+    )
+    got = sorted(
+        (r["center"], r["context"], r["neg_idx"], r["negative"])
+        for r in negative_samples(pairs, vocab, n_neg=5).collect()
+    )
+    ref = _py_negatives(pair_rows, vocab_counts, n_neg=5)
+    assert got == ref
+    # every (pair, i) produced exactly one negative (interval cover is exact)
+    assert len(got) == len(pair_rows) * 5
+    # distribution sanity: the hottest token dominates the draw counts
+    freq = Counter(v for *_k, v in got)
+    assert freq[1] > freq[3] > freq[8]
+
+
+def test_negative_samples_vocab_cap_and_collisions(spark):
+    from pargraph_spark.operators.sampling import negative_samples
+
+    vocab_counts = {i: 100 - i for i in range(1, 21)}
+    pair_rows = [(1, 2), (2, 3), (19, 20)]
+    pairs = spark.createDataFrame(pair_rows, "center long, context long")
+    vocab = spark.createDataFrame(
+        list(vocab_counts.items()), "vertex long, cnt long"
+    )
+    got = sorted(
+        (r["center"], r["context"], r["neg_idx"], r["negative"])
+        for r in negative_samples(pairs, vocab, n_neg=8, max_vocab=5).collect()
+    )
+    ref = _py_negatives(pair_rows, vocab_counts, n_neg=8, max_vocab=5)
+    assert got == ref
+    assert {v for *_k, v in got} <= {1, 2, 3, 4, 5}  # cap really applied
+    dropped = negative_samples(
+        pairs, vocab, n_neg=8, max_vocab=5, drop_collisions=True
+    ).collect()
+    kept = {(r["center"], r["context"], r["neg_idx"], r["negative"])
+            for r in dropped}
+    assert kept == {t for t in got if t[3] != t[0] and t[3] != t[1]}
+
+
+def test_sgns_examples_shape(spark):
+    from pargraph_spark.operators.sampling import sgns_examples
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "center long, context long"
+    )
+    vocab = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, 2)], "vertex long, cnt long"
+    )
+    rows = sgns_examples(pairs, vocab, n_neg=3).collect()
+    pos = [r for r in rows if r["label"] == 1]
+    neg = [r for r in rows if r["label"] == 0]
+    assert len(pos) == 3 and len(neg) == 9
+    assert {(r["center"], r["context"]) for r in pos} == {(1, 2), (2, 1), (1, 3)}
+    assert all(r["context"] in (1, 2, 3) for r in neg)
+
+
+def test_negative_samples_plan_broadcast_equijoin(spark):
+    from pargraph_spark.operators.sampling import negative_samples
+
+    pairs = spark.createDataFrame([(1, 2)], "center long, context long")
+    vocab = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "vertex long, cnt long"
+    )
+    plan = (
+        negative_samples(pairs, vocab, n_neg=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # interval lookup must be a broadcast HASH join on the bucket key,
+    # never a nested-loop range join over the vocab
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

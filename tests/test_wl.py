@@ -118,3 +118,33 @@ def test_wl_seeded_init(spark):
     got = {r["id"]: r["color"] for r in seeded.colors.collect()}
     assert got[1] != got[3]
     assert got == _py_wl(path, 2, init={1: "A", 3: "B"})
+
+
+def test_wl_plan_shape(spark):
+    # the 100-TB claims: (a) the neighbor multiset aggregate partial-
+    # combines map-side (partial_sum before the exchange), (b) the sum
+    # runs in decimal (no int64 overflow at hub degree under ANSI)
+    from pyspark.sql import functions as F
+
+    from pargraph_spark.operators.wl import _M, _h60
+    from pargraph_spark.operators.edges import symmetrize
+
+    e = spark.createDataFrame(CAT, "src long, dst long")
+    sym = symmetrize(e)
+    # per-id colors: a constant color would let Catalyst fold the hash
+    # and the decimal cast out of the printed plan
+    colors = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", _h60(F.col("id")).alias("color")
+    )
+    nbr = (
+        sym.join(colors.withColumnRenamed("id", "u"), "u")
+        .groupBy(F.col("v").alias("id"))
+        .agg(
+            (F.sum(_h60(F.col("color")).cast("decimal(38,0)")) % _M)
+            .cast("long")
+            .alias("_ns")
+        )
+    )
+    plan = nbr._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
+    assert "decimal(38,0)" in plan.lower()

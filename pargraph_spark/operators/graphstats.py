@@ -169,3 +169,33 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "modularityq"
         ),
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Link reciprocity: one row (n_edges, n_reciprocal, reciprocity) —
+    the fraction of distinct non-loop directed edges (u, v) whose
+    reverse (v, u) is also present. The classic directed-web-graph
+    statistic (a high value marks link-exchange/spam-ring behavior;
+    pairs with trust.py's spam mass).
+
+    Exactness: both counts are integers; reciprocity is ONE IEEE
+    division of exact ints (the edge_jaccard float tier).
+
+    Scale shape: distinct + one self-semi-join, both keyed on (src,
+    dst)/(dst, src) — two E-scale hash exchanges, 1-row output; the
+    semi-join carries no payload columns.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        rec.agg(F.count("*").alias("n_reciprocal"))
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+    )

@@ -265,3 +265,59 @@ def hll_reach(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return regs.select(F.col("v").alias("id"), est.alias("est"))
+
+
+def effective_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_hops: int,
+    k: int = 8,
+    q: float = 0.9,
+    num_partitions: int | None = None,
+) -> dict:
+    """HyperANF-style effective diameter (Palmer/ANF KDD'02, Boldi &
+    Vigna WWW'11): the smallest t where the neighborhood function
+    N(t) = Σ_v |ball(v, t)| reaches q (default 90%) of N(max_hops), with
+    the standard linear interpolation between the straddling hops —
+    "90% of connected pairs are within ~d hops", the classic
+    small-world summary of a web graph.
+
+    Returns {"effective_diameter": float, "saturated": bool,
+    "nf": [N(0)..N(max_hops)]}. saturated=False means N was still
+    growing at max_hops (N(max)-N(max-1) > 0.1% of N(max)) and the
+    figure is a lower bound — raise max_hops.
+
+    Determinism: per-vertex KMV estimates are engine-exact (kmv_reach);
+    the N(t) totals sum floats in aggregation order, so this is a
+    SUMMARY convenience like neighborhood_function, deliberately not an
+    oracled query (pytest tolerance only).
+
+    Scale shape: one propagation run reusing _propagate(keep_all=True)
+    — per-hop sketch tables are localCheckpoint-materialized (<= k
+    rows/vertex), per-hop totals are 1-row aggregates; the driver holds
+    max_hops+1 scalars.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    per_hop = _propagate(spark, edges, max_hops, k, P, keep_all=True)
+    nf = [
+        float(
+            _estimate(rows, k).agg(F.sum("est")).collect()[0][0] or 0.0
+        )
+        for rows in per_hop
+    ]
+    target = q * nf[-1]
+    saturated = nf[-1] - nf[-2] <= 0.001 * nf[-1]
+    eff = float(max_hops)
+    for t in range(max_hops + 1):
+        if nf[t] >= target:
+            if t == 0 or nf[t] == nf[t - 1]:
+                eff = float(t)
+            else:
+                # linear interpolation inside hop (t-1, t], ANF-style
+                eff = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+            break
+    return {"effective_diameter": eff, "saturated": saturated, "nf": nf}

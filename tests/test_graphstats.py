@@ -83,3 +83,35 @@ def test_knn_profile_matches_python(spark):
         n, knn = got[k]
         assert n == len(vs)
         assert abs(knn - sum(vs) / len(vs)) < 1e-8
+
+
+def test_reciprocity(spark):
+    from pargraph_spark.operators.graphstats import reciprocity
+
+    # 1->2 and 2->1 reciprocal; 2->3 one-way; 3->3 loop ignored;
+    # duplicate 1->2 rows collapse
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1), (2, 3), (3, 3)], "src long, dst long"
+    )
+    r = reciprocity(e).collect()[0]
+    assert r["n_edges"] == 3 and r["n_reciprocal"] == 2
+    assert r["reciprocity"] == 2 / 3
+
+
+def test_effective_diameter_path_graph(spark):
+    from pargraph_spark.operators.reach import effective_diameter
+
+    # path 0-1-2-3-4: exact N(t) is computable by hand with k large
+    # enough that every sketch stays exact (ball sizes <= 5 < k)
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    out = effective_diameter(spark, e, max_hops=4, k=8, q=0.9)
+    # exact tier: N = [5, 13, 19, 23, 25]; target 22.5 lands in hop 3..4
+    assert out["nf"] == [5.0, 13.0, 19.0, 23.0, 25.0]
+    assert out["saturated"] is False or out["nf"][-1] == out["nf"][-2]
+    # target 22.5 straddles hops 2..3: 2 + (22.5 - 19) / (23 - 19)
+    assert out["effective_diameter"] == 2.875
+    # q at 50%: target 12.5 straddles hops 0..1: (12.5 - 5) / (13 - 5)
+    lo = effective_diameter(spark, e, max_hops=4, k=8, q=0.5)
+    assert lo["effective_diameter"] == 0.9375

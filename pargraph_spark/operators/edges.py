@@ -168,3 +168,53 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left_col: str = "l",
+    right_col: str = "r",
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """One-mode projection of a bipartite edge table: (l, r) pairs →
+    weighted left-left edges (src < dst, w = #distinct shared right
+    vertices). The universal graph constructor — user-page clicks →
+    page-page co-visit graph, page-term posting lists → term
+    co-occurrence, order-part baskets → the part link graph the entry's
+    queries run on (mirrors __spark_entry__._co_edges with weights and a
+    skew guard).
+
+    Scale shape: a right vertex of degree d fans out into d·(d−1)/2
+    pairs — THE quadratic skew hazard of any projection. `hot_cap`
+    drops right vertices with degree > cap before the self-join (the
+    butterflies.py declared-cap discipline; a right vertex shared by
+    everyone — the "login page" — carries no pairwise signal anyway).
+    With the cap, per-right fan-out is bounded by cap²/2 and the
+    self-join is an equi-join on the right key; the weight aggregate
+    partial-combines map-side. None = exact full projection.
+    """
+    e = (
+        edges.select(
+            F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+        )
+        .where(F.col(left_col).isNotNull() & F.col(right_col).isNotNull())
+        .distinct()
+    )
+    if hot_cap is not None:
+        if hot_cap < 1:
+            raise ValueError(f"hot_cap must be >= 1, got {hot_cap}")
+        deg = e.groupBy("_r").agg(F.count("*").alias("_d"))
+        e = e.join(
+            deg.where(F.col("_d") <= int(hot_cap)).select("_r"), "_r"
+        )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._r") == F.col("b._r"))
+            & (F.col("a._l") < F.col("b._l")),
+        )
+        .select(F.col("a._l").alias("src"), F.col("b._l").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )

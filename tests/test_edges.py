@@ -214,3 +214,45 @@ def test_host_reach_from_pages_pipeline(spark):
     assert approx.keys() == exact.keys() and exact
     for h, n in exact.items():
         assert abs(approx[h] - n) <= max(1, 0.2 * n), (h, approx[h], n)
+
+
+def test_bipartite_project_exact_and_capped(spark):
+    from pargraph_spark.operators.edges import bipartite_project
+
+    # users x pages: page 100 is shared by all three users (the hub)
+    rows = [
+        (1, 100), (2, 100), (3, 100),
+        (1, 200), (2, 200),
+        (2, 300), (3, 300),
+        (1, 400), (1, 400),  # duplicate collapses
+    ]
+    e = spark.createDataFrame(rows, "l long, r long")
+    full = {
+        (r["src"], r["dst"]): r["w"]
+        for r in bipartite_project(e).collect()
+    }
+    # brute force
+    from collections import Counter
+    by_r = {}
+    for l, r in set(rows):
+        by_r.setdefault(r, set()).add(l)
+    brute = Counter()
+    for mem in by_r.values():
+        for a in mem:
+            for b in mem:
+                if a < b:
+                    brute[(a, b)] += 1
+    assert full == dict(brute)
+    # cap at 2 removes page 100's pairs only
+    capped = {
+        (r["src"], r["dst"]): r["w"]
+        for r in bipartite_project(e, hot_cap=2).collect()
+    }
+    brute2 = Counter()
+    for r, mem in by_r.items():
+        if len(mem) <= 2:
+            for a in mem:
+                for b in mem:
+                    if a < b:
+                        brute2[(a, b)] += 1
+    assert capped == dict(brute2)

@@ -212,3 +212,99 @@ def pii_counts(c: Column) -> tuple[Column, Column, Column]:
         F.regexp_count(c, F.lit(PII_EMAIL_RE)),
         F.regexp_count(c, F.lit(PII_PHONE_RE)),
     )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+) -> DataFrame:
+    """Corpus-level token co-occurrence graph (src, dst, w): tokens
+    within `window` positions of each other in any document, src < dst
+    lexicographically, w = total co-occurrence count across the corpus.
+    The skipgram_pairs shape applied to text (join keyed on the doc id —
+    per-row fan-out <= 2*window, no skew key).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    pos = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("_i", "_tok"),
+    )
+    a = pos.select("_doc", F.col("_i").alias("_ia"), F.col("_tok").alias("_ta"))
+    b = pos.select("_doc", F.col("_i").alias("_ib"), F.col("_tok").alias("_tb"))
+    return (
+        a.join(b, "_doc")
+        .where(
+            (F.col("_ia") < F.col("_ib"))
+            & (F.col("_ib") - F.col("_ia") <= window)
+            & (F.col("_ta") != F.col("_tb"))
+        )
+        .select(
+            F.least("_ta", "_tb").alias("src"),
+            F.greatest("_ta", "_tb").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def textrank_keywords(
+    spark,
+    df: DataFrame,
+    k: int = 20,
+    window: int = 2,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): run
+    PageRank over the corpus token co-occurrence graph and return the
+    top-k terms (term, score, rn). A pure composition of engine
+    operators — cooccurrence_edges → operators/pagerank.pagerank
+    (weighted, fixed iterations) → global top-k sort-limit — so every
+    stage inherits the scale shape already pinned for those operators
+    (src-partitioned persisted edges, map-side partial top-k).
+
+    Corpus-level by design: ONE graph over all documents (per-document
+    graphs would be millions of driver-side tiny problems — not the
+    Spark shape). Per-document keywords = semi-join this output against
+    the document's token set.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.pagerank import pagerank
+
+    edges = cooccurrence_edges(df, window=window)
+    # token-string vertices: hash to ids for the solver, keep the map
+    vmap = (
+        edges.select(F.col("src").alias("term"))
+        .unionByName(edges.select(F.col("dst").alias("term")))
+        .distinct()
+        .select("term", F.xxhash64("term").alias("id"))
+    )
+    e = (
+        edges.join(vmap.withColumnRenamed("term", "src"), "src")
+        .withColumnRenamed("id", "_sid")
+        .join(vmap.withColumnRenamed("term", "dst"), "dst")
+        .withColumnRenamed("id", "_did")
+    )
+    # undirected TextRank: feed both directions, weight-preserving
+    sym = e.select(
+        F.col("_sid").alias("src"), F.col("_did").alias("dst"), "w"
+    ).unionByName(
+        e.select(F.col("_did").alias("src"), F.col("_sid").alias("dst"), "w")
+    )
+    res = pagerank(
+        spark, sym, damping=damping, tol=0.0, max_iter=iters,
+        weight_col="w",
+    )
+    ranked = res.ranks.join(vmap, "id").select(
+        "term", F.col("rank").alias("score")
+    )
+    wtop = Window.orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        ranked.orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(k)
+        .withColumn("rn", F.row_number().over(wtop))
+    )

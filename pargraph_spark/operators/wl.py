@@ -95,7 +95,10 @@ def wl_colors(
     spark = edges.sparkSession
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = symmetrize(edges).repartition(P, "v").persist()
+    # partitioned on the JOIN key u — the per-round colors join probes
+    # the persisted copy in place (the core_numbers/r4 discipline; a
+    # v-partitioned copy would re-exchange the E-scale table every round)
+    sym = symmetrize(edges).repartition(P, "u").persist()
     verts = sym.select(F.col("u").alias("id")).distinct()
     if init is not None:
         colors = verts.join(

@@ -148,3 +148,36 @@ def test_wl_plan_shape(spark):
     plan = nbr._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
     assert "decimal(38,0)" in plan.lower()
+
+
+def test_wl_round_no_escale_exchange(spark):
+    # the per-round scale contract: the E-scale sym join probes the
+    # u-partitioned persisted copy in place (no Exchange between the
+    # join and the InMemoryTableScan); only V-scale colors/partials move
+    from pyspark.sql import functions as F
+
+    from pargraph_spark.operators.wl import _M, _h60
+    from pargraph_spark.operators.edges import symmetrize
+
+    e = spark.createDataFrame(CAT, "src long, dst long")
+    sym = symmetrize(e).repartition(8, "u").persist()
+    sym.count()
+    colors = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .select("id", _h60(F.col("id")).alias("color"))
+        .localCheckpoint(eager=True)
+    )
+    nbr = (
+        sym.join(colors.withColumnRenamed("id", "u"), "u")
+        .groupBy(F.col("v").alias("id"))
+        .agg(
+            (F.sum(_h60(F.col("color")).cast("decimal(38,0)")) % _M)
+            .cast("long")
+            .alias("_ns")
+        )
+    )
+    plan = nbr._jdf.queryExecution().executedPlan().toString()
+    prefix = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in prefix, plan
+    assert "Exchange hashpartitioning(u" not in prefix, plan
+    sym.unpersist()

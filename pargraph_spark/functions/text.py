@@ -223,8 +223,14 @@ def cooccurrence_edges(
     """Corpus-level token co-occurrence graph (src, dst, w): tokens
     within `window` positions of each other in any document, src < dst
     lexicographically, w = total co-occurrence count across the corpus.
-    The skipgram_pairs shape applied to text (join keyed on the doc id —
-    per-row fan-out <= 2*window, no skew key).
+
+    Scale shape: the join is an EQUI-join on (doc, position + offset)
+    with the left side replicated `window` times — per-token fan-out is
+    exactly `window`, LINEAR in document length. (A doc-keyed self-join
+    with the |i-j| <= window predicate applied post-join would be
+    QUADRATIC in tokens-per-document before the filter — 10^8
+    intermediate rows for one 10k-token page; skipgram_pairs gets away
+    with that shape only because walks are short by construction.)
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -232,15 +238,16 @@ def cooccurrence_edges(
         F.col(id_col).alias("_doc"),
         F.posexplode(tokens(F.col(text_col))).alias("_i", "_tok"),
     )
-    a = pos.select("_doc", F.col("_i").alias("_ia"), F.col("_tok").alias("_ta"))
+    a = pos.select(
+        "_doc", F.col("_i").alias("_ia"), F.col("_tok").alias("_ta")
+    ).withColumn(
+        "_off",
+        F.explode(F.sequence(F.lit(1), F.lit(window)).cast("array<int>")),
+    ).withColumn("_ib", F.col("_ia") + F.col("_off")).drop("_off")
     b = pos.select("_doc", F.col("_i").alias("_ib"), F.col("_tok").alias("_tb"))
     return (
-        a.join(b, "_doc")
-        .where(
-            (F.col("_ia") < F.col("_ib"))
-            & (F.col("_ib") - F.col("_ia") <= window)
-            & (F.col("_ta") != F.col("_tb"))
-        )
+        a.join(b, ["_doc", "_ib"])
+        .where(F.col("_ta") != F.col("_tb"))
         .select(
             F.least("_ta", "_tb").alias("src"),
             F.greatest("_ta", "_tb").alias("dst"),

@@ -84,6 +84,36 @@ def write_pages_text(pages: DataFrame, path: str, fmt: str) -> None:
         raise ValueError(f"write_pages_text supports csv/json, got {fmt!r}")
 
 
+def read_pages_table(
+    spark: SparkSession,
+    name: str,
+    snapshot_id: int | None = None,
+    as_of_ts_ms: int | None = None,
+) -> DataFrame:
+    """Pages scan from a CATALOG TABLE — the canonical access path for
+    the Iceberg pages table the north rule names (`spark.read.table`;
+    works unchanged for any catalog format: Iceberg, Hive, temp views in
+    tests). Column pruning and predicate pushdown flow through exactly
+    as for path scans — downstream operators select/filter before any
+    action, so an Iceberg scan reads only the touched columns/files.
+
+    `snapshot_id` / `as_of_ts_ms` forward Iceberg's public time-travel
+    read options (`snapshot-id`, `as-of-timestamp`, ms since epoch) —
+    reproducible re-runs against a pinned table state (the batch
+    counterpart of streaming/incremental.py's idempotent ingest).
+    Non-Iceberg sources ignore them; passing both is rejected (Iceberg
+    would).
+    """
+    if snapshot_id is not None and as_of_ts_ms is not None:
+        raise ValueError("pass snapshot_id OR as_of_ts_ms, not both")
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", int(snapshot_id))
+    if as_of_ts_ms is not None:
+        reader = reader.option("as-of-timestamp", int(as_of_ts_ms))
+    return reader.table(name)
+
+
 def latest_pages(pages: DataFrame) -> DataFrame:
     """One row per url: the latest crawl by warc_ts.
 

@@ -256,3 +256,36 @@ def test_bipartite_project_exact_and_capped(spark):
                     if a < b:
                         brute2[(a, b)] += 1
     assert capped == dict(brute2)
+
+
+def test_read_pages_table_catalog_path(spark):
+    # the catalog-table access path (Iceberg's canonical entry): same
+    # rows/schema as the in-memory frame, byte-identical html; latest-
+    # crawl dedupe composes unchanged
+    import pytest
+
+    from pargraph_spark.sources.pages import latest_pages, read_pages_table
+
+    orig = pages_df_local(spark, 80)
+    orig.createOrReplaceTempView("pages_tbl_t")
+    try:
+        back = read_pages_table(spark, "pages_tbl_t")
+        assert back.schema.simpleString() == orig.schema.simpleString()
+        want = {
+            (r["url"], str(r["warc_ts"])): bytes(r["html"])
+            for r in orig.collect()
+        }
+        got = {
+            (r["url"], str(r["warc_ts"])): bytes(r["html"])
+            for r in back.collect()
+        }
+        assert got == want
+        assert (
+            latest_pages(back).count() == latest_pages(orig).count()
+        )
+        with pytest.raises(ValueError, match="not both"):
+            read_pages_table(
+                spark, "pages_tbl_t", snapshot_id=1, as_of_ts_ms=2
+            )
+    finally:
+        spark.catalog.dropTempView("pages_tbl_t")

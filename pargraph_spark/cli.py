@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
                                     "truss", "trussnums", "scc", "bowtie",
                                     "katz", "communities", "betweenness",
                                     "spammass", "densest", "temporalreach",
-                                    "anchors",
+                                    "anchors", "wlroles", "localcluster",
+                                    "textrank", "effdiam",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -258,6 +259,65 @@ def main(argv: list[str] | None = None) -> int:
                                     "converged": tr.converged,
                                     "reached": tr.arrivals.count()}
         te.unpersist()
+    if args.job == "wlroles":
+        from pargraph_spark.operators.wl import wl_colors, wl_histogram
+
+        wr = wl_colors(graph.edges, rounds=max(args.hops, 1),
+                       num_partitions=args.partitions)
+        wr.colors.write.mode("overwrite").parquet(
+            f"{args.output}/wl_colors.parquet")
+        wl_histogram(wr).write.mode("overwrite").parquet(
+            f"{args.output}/wl_histogram.parquet")
+        summary["wlroles"] = {"rounds": wr.rounds, "n_colors": wr.n_colors,
+                              "converged": wr.converged}
+    if args.job == "localcluster":
+        from pyspark.sql import functions as F
+
+        from pargraph_spark.operators.pagerank import pagerank as _pr
+        from pargraph_spark.operators.sweepcut import sweep_cut
+
+        # seed: the min-id vertex of maximal degree (deterministic;
+        # curated seeds should use the operator API — the spammass
+        # convention)
+        deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("d"))
+        seed = deg.orderBy(F.col("d").desc(), F.col("id").asc()).limit(1)
+        ppr = _pr(spark, graph.edges,
+                  teleport=seed.select("id", F.lit(1.0).alias("w")),
+                  damping=args.damping, tol=args.tol,
+                  num_partitions=args.partitions)
+        sc = sweep_cut(graph.edges, ppr.ranks.withColumnRenamed(
+            "rank", "score"), top_n=max(args.k, 1) * 100)
+        sc.members.write.mode("overwrite").parquet(
+            f"{args.output}/local_cluster.parquet")
+        summary["localcluster"] = {"best_k": sc.best_k,
+                                   "conductance": sc.best_phi,
+                                   "cut": sc.cut, "vol": sc.vol}
+    if args.job == "textrank":
+        from pargraph_spark.functions.text import textrank_keywords
+        from pargraph_spark.sources.pages import latest_pages, read_pages
+
+        pdf = (
+            read_pages(spark, pages, fmt=args.pages_format)
+            if isinstance(pages, str)
+            else pages
+        )
+        kw = textrank_keywords(spark, latest_pages(pdf),
+                               k=max(args.k, 1), iters=max(args.hops, 1),
+                               id_col="url")
+        kw.write.mode("overwrite").parquet(f"{args.output}/keywords.parquet")
+        summary["textrank"] = {"k": max(args.k, 1),
+                               "terms": [r["term"] for r in kw.collect()]}
+    if args.job == "effdiam":
+        from pargraph_spark.operators.reach import effective_diameter
+
+        ed = effective_diameter(spark, graph.edges,
+                                max_hops=max(args.hops, 1),
+                                k=max(args.k, 2),
+                                num_partitions=args.partitions)
+        summary["effdiam"] = {"effective_diameter": ed["effective_diameter"],
+                              "saturated": ed["saturated"],
+                              "nf": ed["nf"]}
     if args.job == "reach":
         from pargraph_spark.operators.reach import kmv_reach, neighborhood_function
 

@@ -264,6 +264,8 @@ def textrank_keywords(
     window: int = 2,
     iters: int = 10,
     damping: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): run
     PageRank over the corpus token co-occurrence graph and return the
@@ -282,7 +284,9 @@ def textrank_keywords(
 
     from ..operators.pagerank import pagerank
 
-    edges = cooccurrence_edges(df, window=window)
+    edges = cooccurrence_edges(
+        df, id_col=id_col, text_col=text_col, window=window
+    )
     # token-string vertices: hash to ids for the solver, keep the map
     vmap = (
         edges.select(F.col("src").alias("term"))

@@ -195,3 +195,31 @@ def test_cli_temporalreach_job(tmp_path):
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
     assert summary["temporalreach"]["reached"] > 0, summary
     assert os.path.isdir(os.path.join(out, "temporal_reach.parquet"))
+
+
+def test_cli_wl_localcluster_textrank_effdiam_jobs(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    for job, extra in (
+        ("wlroles", ["--hops", "3"]),
+        ("localcluster", ["--k", "2"]),
+        ("textrank", ["--k", "5", "--hops", "4"]),
+        ("effdiam", ["--hops", "3", "--k", "8"]),
+    ):
+        out = str(tmp_path / job)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pargraph_spark.cli", job,
+             "--synth-pages", "300", "--output", out,
+             "--cores", "2", "--partitions", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert job in summary, summary
+    assert os.path.isdir(str(tmp_path / "wlroles" / "wl_colors.parquet"))
+    assert os.path.isdir(
+        str(tmp_path / "localcluster" / "local_cluster.parquet"))
+    assert os.path.isdir(str(tmp_path / "textrank" / "keywords.parquet"))

@@ -295,19 +295,17 @@ def main(argv: list[str] | None = None) -> int:
                                    "cut": sc.cut, "vol": sc.vol}
     if args.job == "textrank":
         from pargraph_spark.functions.text import textrank_keywords
-        from pargraph_spark.sources.pages import latest_pages, read_pages
 
-        pdf = (
-            read_pages(spark, pages, fmt=args.pages_format)
-            if isinstance(pages, str)
-            else pages
-        )
-        kw = textrank_keywords(spark, latest_pages(pdf),
+        # graph.extracted carries the RE-EXTRACTED text (the pages
+        # contract leaves the source `text` column NULL — synth.py and
+        # real crawls alike; feeding raw pages here yields zero keywords)
+        kw = textrank_keywords(spark, graph.extracted,
                                k=max(args.k, 1), iters=max(args.hops, 1),
-                               id_col="url")
+                               damping=args.damping, id_col="url").persist()
         kw.write.mode("overwrite").parquet(f"{args.output}/keywords.parquet")
         summary["textrank"] = {"k": max(args.k, 1),
                                "terms": [r["term"] for r in kw.collect()]}
+        kw.unpersist()
     if args.job == "effdiam":
         from pargraph_spark.operators.reach import effective_diameter
 

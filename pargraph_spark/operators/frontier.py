@@ -60,8 +60,13 @@ def frontier_waves(
         # rank <= k on a row_number window -> WindowGroupLimit: the hot
         # host is cut map-side, before its rows cross the exchange
         ranked = ranked.where(F.col("host_rank") <= host_budget)
+    # a NULL delay (host absent from robots.txt) must mean "no extra
+    # delay", not a NULL wave that silently drops the host's URLs from
+    # any wave-ordered fetch
     delay = (
-        F.col(delay_col).cast("long") if delay_col is not None else F.lit(1)
+        F.coalesce(F.col(delay_col).cast("long"), F.lit(1))
+        if delay_col is not None
+        else F.lit(1)
     )
     return ranked.select(
         url_col, host_col, priority_col, "host_rank",
@@ -71,10 +76,11 @@ def frontier_waves(
     )
 
 
-def wave_histogram(schedule: DataFrame) -> DataFrame:
+def wave_histogram(schedule: DataFrame, host_col: str = "host") -> DataFrame:
     """Fetches per wave (wave, n_urls, n_hosts) — the fetcher's load
-    profile; its max row is the cluster-width requirement."""
+    profile; its max row is the cluster-width requirement. `host_col`
+    must match the one given to frontier_waves."""
     return schedule.groupBy("wave").agg(
         F.count("*").alias("n_urls"),
-        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct(host_col).alias("n_hosts"),
     )

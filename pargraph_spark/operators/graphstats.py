@@ -197,5 +197,9 @@ def reciprocity(edges: DataFrame) -> DataFrame:
     ).select(
         "n_edges",
         "n_reciprocal",
-        (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+        # guard the empty/loops-only graph: 0/0 would be NaN
+        F.when(
+            F.col("n_edges") > 0,
+            F.col("n_reciprocal") / F.col("n_edges"),
+        ).otherwise(F.lit(0.0)).alias("reciprocity"),
     )

@@ -309,6 +309,11 @@ def effective_diameter(
         )
         for rows in per_hop
     ]
+    # only scalars leave this function: release the max_hops+1
+    # materialized per-hop sketch tables (keep_all skips the loop's own
+    # unpersist) so a long session doesn't hold V*k rows per hop forever
+    for rows in per_hop:
+        rows.unpersist()
     target = q * nf[-1]
     saturated = nf[-1] - nf[-2] <= 0.001 * nf[-1]
     eff = float(max_hops)

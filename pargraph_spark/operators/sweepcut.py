@@ -24,9 +24,11 @@ global sort-limit (TakeOrderedAndProject — map-side partial top-n, no
 full sort). Ranks, the per-prefix cut deltas, and both cumsums then
 live on a MODEL-SIZED table (<= top_n rows; the single-partition window
 is over that capped table only, the negative_samples vocab discipline).
-The only E-scale work is ONE equi-join of the undirected edge list
-against the broadcast rank map to build the +1/-1 cut deltas — no
-E-scale shuffle, no per-prefix pass over the graph.
+E-scale work is ONE persisted distinct pass over the undirected edge
+list, which then serves the 2m count, the degree aggregate, and the
+single equi-join against the broadcast rank map that builds the +1/-1
+cut deltas — no per-prefix pass over the graph, and every cache is
+released before return (outputs are localCheckpoint-materialized).
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .edges import canonical_undirected, symmetrize
+from .edges import canonical_undirected
 
 
 @dataclass
@@ -68,10 +70,16 @@ def sweep_cut(
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     spark = edges.sparkSession
 
-    und = canonical_undirected(edges)
-    sym = symmetrize(edges)
-    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    # ONE E-scale distinct pass: the persisted und serves the 2m count,
+    # the degree aggregate (unpivot a/b), and the cut-delta join
+    und = canonical_undirected(edges).persist()
     two_m = und.count() * 2
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
 
     cand = (
         scores.select("id", F.col(score_col).cast("double").alias("score"))
@@ -139,15 +147,18 @@ def sweep_cut(
             ).otherwise(F.lit(None)),
         )
         .drop("_den")
-        .persist()
+        # model-sized (<= top_n rows): materialize and release every
+        # upstream cache — nothing E-scale stays pinned after return
+        .localCheckpoint(eager=True)
     )
+    ranked.unpersist()
+    und.unpersist()
     best = (
         sweep.where(F.col("phi").isNotNull())
         .orderBy(F.col("phi").asc(), F.col("rank").asc())
         .limit(1)
         .collect()
     )
-    ranked.unpersist()
     if not best:
         return SweepCutResult(
             sweep.where(F.lit(False)).select("id", "rank", "score"),

@@ -237,6 +237,7 @@ def streaming_frequent_items(items: DataFrame, item_col: str = "item",
             dec, n = int(dec), int(n)
         else:
             counters, dec, n = {}, 0, 0
+        n0 = n
         for pdf in pdfs:
             for it in pdf["item"]:
                 if it is None:
@@ -255,10 +256,13 @@ def streaming_frequent_items(items: DataFrame, item_col: str = "item",
                             dead.append(ky)
                     for ky in dead:
                         del counters[ky]
+        # a batch with ZERO non-null items for an existing bucket (null
+        # items route to a real bucket — xxhash64(NULL) is the seed
+        # hash) must not re-emit: n is unchanged, so a second same-n
+        # snapshot would duplicate every row under the max-n reducer
+        if state.exists and n == n0:
+            return
         state.update((list(counters.keys()), list(counters.values()), dec, n))
-        # always include a null-item sentinel: decrement-all can zero out
-        # EVERY counter, and a trigger that emits nothing would leave a
-        # stale earlier snapshot as the bucket's latest
         m = len(counters)
         yield pd.DataFrame(
             {

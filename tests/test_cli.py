@@ -219,6 +219,10 @@ def test_cli_wl_localcluster_textrank_effdiam_jobs(tmp_path):
         assert proc.returncode == 0, proc.stderr[-2000:]
         summary = json.loads(proc.stdout.strip().splitlines()[-1])
         assert job in summary, summary
+        if job == "textrank":
+            # the pages contract leaves raw `text` NULL — the job must
+            # run over graph.extracted and actually find keywords
+            assert len(summary["textrank"]["terms"]) == 5, summary
     assert os.path.isdir(str(tmp_path / "wlroles" / "wl_colors.parquet"))
     assert os.path.isdir(
         str(tmp_path / "localcluster" / "local_cluster.parquet"))

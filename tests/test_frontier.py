@@ -87,3 +87,13 @@ def test_frontier_stable_under_repartition(spark):
     a = _collect(frontier_waves(f, 2))
     b = _collect(frontier_waves(f.repartition(7), 2))
     assert a == b
+
+
+def test_frontier_null_delay_defaults_to_one(spark):
+    rows = [("a.com/1", "a.com", 9.0, None), ("a.com/2", "a.com", 7.0, None)]
+    f = spark.createDataFrame(
+        rows, "url string, host string, priority double, crawl_delay int"
+    )
+    got = _collect(frontier_waves(f, 1, delay_col="crawl_delay"))
+    # NULL robots delay = no extra delay, never a NULL wave
+    assert got["a.com/1"][3] == 0 and got["a.com/2"][3] == 1

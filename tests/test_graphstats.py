@@ -115,3 +115,11 @@ def test_effective_diameter_path_graph(spark):
     # q at 50%: target 12.5 straddles hops 0..1: (12.5 - 5) / (13 - 5)
     lo = effective_diameter(spark, e, max_hops=4, k=8, q=0.5)
     assert lo["effective_diameter"] == 0.9375
+
+
+def test_reciprocity_degenerate_graphs(spark):
+    from pargraph_spark.operators.graphstats import reciprocity
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    r = reciprocity(loops).collect()[0]
+    assert r["n_edges"] == 0 and r["reciprocity"] == 0.0

@@ -289,3 +289,42 @@ def test_streaming_frequent_items_guarantee(spark, tmp_path):
         assert r["count_lb"] <= truth[it] <= r["count_ub"], (it, dict(r.asDict()))
         assert r["count_lb"] >= 1
     assert {"hot_a", "hot_b"} <= set(got)
+
+
+def test_streaming_frequent_items_allnull_batch_no_duplicates(spark, tmp_path):
+    from pargraph_spark.streaming.events import run_to_memory
+    from pargraph_spark.streaming.incremental import (
+        latest_frequent_items_snapshot,
+        streaming_frequent_items,
+    )
+
+    in_dir = str(tmp_path / "hhn_in")
+    ck = str(tmp_path / "hhn_ck")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def drop(name, items):
+        spark.createDataFrame(
+            [(x,) for x in items], "item string"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, name))
+
+    drop("b0", ["x"] * 5 + ["y"] * 2)
+    # a batch of ONLY nulls: routes to real buckets (xxhash64(NULL) is
+    # the seed hash) but adds no items — must not re-emit a same-n
+    # snapshot that the max-n reducer would keep alongside the first
+    drop("b1", [None, None, None])
+    drop("b2", ["x"] * 3)
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    run_to_memory(
+        streaming_frequent_items(stream, "item", k=4, buckets=2),
+        "hhn_sink", ck, output_mode="update",
+    )
+    snap = latest_frequent_items_snapshot(spark.table("hhn_sink")).collect()
+    rows_x = [r for r in snap if r["item"] == "x"]
+    rows_y = [r for r in snap if r["item"] == "y"]
+    assert len(rows_x) == 1 and len(rows_y) == 1, snap
+    assert rows_x[0]["count_lb"] == 8 and rows_y[0]["count_lb"] == 2

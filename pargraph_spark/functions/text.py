@@ -319,3 +319,34 @@ def textrank_keywords(
         .limit(k)
         .withColumn("rn", F.row_number().over(wtop))
     )
+
+
+def document_keywords(
+    df: DataFrame,
+    corpus_keywords: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keywords from a corpus TextRank run (the semi-join
+    textrank_keywords' docstring promises): (id, term, score, rn) — the
+    corpus keywords that actually occur in each document, rn re-ranked
+    within the document by corpus score. corpus_keywords is
+    textrank_keywords output (model-sized: k rows), so the join
+    broadcasts; the doc side is one explode + distinct, no shuffle of
+    the corpus ranking."""
+    from pyspark.sql import Window
+
+    doc_terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).distinct()
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        doc_terms.join(
+            F.broadcast(corpus_keywords.select("term", "score")), "term"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select("id", "term", "score", "rn")
+    )

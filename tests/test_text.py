@@ -47,3 +47,33 @@ def test_textrank_keywords(spark):
     assert [(r["term"], r["score"]) for r in out] == [
         (r["term"], r["score"]) for r in again
     ]
+
+
+def test_document_keywords_semijoin(spark):
+    from pargraph_spark.functions.text import (
+        document_keywords,
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub alpha beta hub gamma"),
+            (2, "hub delta alpha hub beta"),
+            (3, "gamma hub delta rare"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = textrank_keywords(spark, docs, k=4, window=2, iters=6)
+    per_doc = document_keywords(docs, corpus).collect()
+    by_doc = {}
+    for r in per_doc:
+        by_doc.setdefault(r["id"], []).append((r["rn"], r["term"]))
+    corpus_terms = {r["term"] for r in corpus.collect()}
+    # every doc's keywords are corpus keywords present in that doc
+    texts = {1: "hub alpha beta hub gamma", 2: "hub delta alpha hub beta",
+             3: "gamma hub delta rare"}
+    for doc, kws in by_doc.items():
+        terms = [t for _, t in sorted(kws)]
+        assert set(terms) == corpus_terms & set(texts[doc].split())
+        # rn is 1..m and ordered by corpus score
+        assert [rn for rn, _ in sorted(kws)] == list(range(1, len(kws) + 1))

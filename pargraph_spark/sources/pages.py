@@ -126,3 +126,52 @@ def latest_pages(pages: DataFrame) -> DataFrame:
         .agg(F.max(payload).alias("_p"))
         .select("url", "_p.warc_ts", "_p.html", "_p.text", "_p.lang")
     )
+
+
+def crawl_diff(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
+    """Recrawl delta: (url, status, old_ts, new_ts) with status in
+    {added, removed, changed, unchanged} — the page-level input to any
+    incremental pipeline decision (what to re-extract, which edges to
+    re-append via sources/edgestore, which hosts to re-budget in
+    frontier_waves). Both inputs must be one-row-per-url (compose with
+    latest_pages).
+
+    'changed' compares md5 over the RAW html bytes — the same
+    byte-identity contract O2's extraction is pinned to, so unchanged
+    here guarantees identical downstream text/links.
+
+    Scale shape: ONE full outer join on url; fingerprints are computed
+    in the map stage before the shuffle, so html bytes never cross the
+    exchange — only (url, 16-byte md5, ts) rows do.
+    """
+    # explicit presence markers: md5(NULL html) is NULL, so the hash
+    # column cannot double as "row exists on this side"
+    o = old_pages.select(
+        "url",
+        F.md5(F.col("html")).alias("_oh"),
+        F.lit(True).alias("_op"),
+        F.col("warc_ts").alias("old_ts"),
+    )
+    n = new_pages.select(
+        "url",
+        F.md5(F.col("html")).alias("_nh"),
+        F.lit(True).alias("_np"),
+        F.col("warc_ts").alias("new_ts"),
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("_op").isNull(), F.lit("added"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        .when(
+            F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("unchanged")
+        )
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_ts",
+        "new_ts",
+    )
+
+
+def crawl_diff_summary(diff: DataFrame) -> DataFrame:
+    """(status, n) counts of a crawl_diff — the recrawl health line."""
+    return diff.groupBy("status").agg(F.count("*").alias("n"))

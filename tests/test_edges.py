@@ -289,3 +289,42 @@ def test_read_pages_table_catalog_path(spark):
             )
     finally:
         spark.catalog.dropTempView("pages_tbl_t")
+
+
+def test_crawl_diff_statuses(spark):
+    import datetime
+
+    from pargraph_spark.sources.pages import crawl_diff, crawl_diff_summary
+
+    t1 = datetime.datetime(2026, 1, 1)
+    t2 = datetime.datetime(2026, 2, 1)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    old = spark.createDataFrame(
+        [
+            ("u/keep", t1, b"<p>same</p>", None, "en"),
+            ("u/edit", t1, b"<p>v1</p>", None, "en"),
+            ("u/gone", t1, b"<p>bye</p>", None, "en"),
+            ("u/nullhtml", t1, None, None, "en"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("u/keep", t2, b"<p>same</p>", None, "en"),
+            ("u/edit", t2, b"<p>v2</p>", None, "en"),
+            ("u/new", t2, b"<p>hi</p>", None, "en"),
+            ("u/nullhtml", t2, None, None, "en"),
+        ],
+        schema,
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u/keep": "unchanged",
+        "u/edit": "changed",
+        "u/gone": "removed",
+        "u/new": "added",
+        # NULL html on both sides: present, byte-equal by convention
+        "u/nullhtml": "unchanged",
+    }
+    summ = {r["status"]: r["n"] for r in crawl_diff_summary(crawl_diff(old, new)).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}

@@ -495,3 +495,85 @@ def sgns_examples(
         F.lit(0).cast("int").alias("label"),
     )
     return pos.unionByName(neg)
+
+
+def budget_mixture(
+    df: DataFrame,
+    targets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "mix",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic corpus mixing: down-sample each source to its
+    token budget — the mixture-weights step of LLM pre-training data
+    assembly (e.g. "web 60% / code 25% / books 15% of a 1T-token
+    budget" expressed as absolute per-source token targets).
+
+    For each source s with total tokens T_s and target B_s, documents
+    are kept by the content-hash rule keep_fraction(id, min(1, B_s/T_s),
+    salt+s) — so the kept set is a pure function of (corpus, targets,
+    salt): stable under repartitioning and incremental re-runs (a doc's
+    fate never flips as OTHER sources grow), sources with T_s <= B_s
+    pass through whole, and the achieved token count is B_s in
+    expectation with md5 uniformity (exact-trim variants need a global
+    per-source ordering — a corpus-scale sort the expectation form
+    avoids; the achieved/target ratio is reported for auditing).
+
+    Returns (kept_docs, summary) where summary is one row per source:
+    (source, total_tokens, target_tokens, rate, kept_docs,
+    kept_tokens).
+
+    Scale shape: one partial-combining aggregate for the totals
+    (model-sized: one row per source, collected to build the literal
+    per-source thresholds), then a pure row-local filter — no shuffle
+    of the corpus at all; the summary is a second aggregate over the
+    kept rows.
+    """
+    for s, b in targets.items():
+        if b < 0:
+            raise ValueError(f"negative token target for {s!r}: {b}")
+    totals = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.col(tokens_col)).alias("t"))
+        .collect()
+    }
+    unknown = set(targets) - set(totals)
+    if unknown:
+        raise ValueError(f"targets for absent sources: {sorted(unknown)}")
+    rates = {
+        s: (1.0 if totals[s] <= targets[s] else targets[s] / totals[s])
+        for s in targets
+    }
+    keep = F.lit(False)
+    for s, rate in sorted(rates.items()):
+        keep = F.when(
+            F.col(source_col) == s,
+            keep_fraction(F.col(id_col), rate, f"{salt}|{s}"),
+        ).otherwise(keep)
+    kept = df.where(keep)
+    summary = (
+        kept.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum(F.col(tokens_col)).alias("kept_tokens"),
+        )
+        .join(
+            df.sparkSession.createDataFrame(
+                [
+                    (s, totals[s], targets[s], rates[s])
+                    for s in sorted(targets)
+                ],
+                "source string, total_tokens long, target_tokens long, rate double",
+            ),
+            "source",
+            "right",
+        )
+        .select(
+            "source", "total_tokens", "target_tokens", "rate",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
+    return kept, summary

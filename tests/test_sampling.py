@@ -337,3 +337,55 @@ def test_negative_samples_plan_broadcast_equijoin(spark):
     # never a nested-loop range join over the vocab
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_budget_mixture_deterministic_and_budgeted(spark):
+    import hashlib as _hl
+
+    from pargraph_spark.operators.sampling import (
+        budget_mixture,
+        fraction_threshold_hex,
+    )
+
+    rows = [
+        (i, "web", 100) for i in range(400)
+    ] + [
+        (i + 1000, "code", 50) for i in range(200)
+    ] + [
+        (i + 5000, "books", 80) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    targets = {"web": 10_000, "code": 10_000, "books": 10_000_000}
+    kept, summary = budget_mixture(df, targets)
+    got = {(r["doc_id"], r["source"]) for r in kept.collect()}
+    # exact python replica of the keep rule
+    rates = {"web": 10_000 / 40_000, "code": 1.0, "books": 1.0}
+    ref = set()
+    for i, s, _t in rows:
+        h = _hl.md5(f"mix|{s}:{i}".encode()).hexdigest()[:8]
+        if h < fraction_threshold_hex(rates[s]):
+            ref.add((i, s))
+    assert got == ref
+    # under-budget sources pass through whole
+    assert sum(1 for _, s in got if s == "books") == 10
+    assert sum(1 for _, s in got if s == "code") == 200
+    sm = {r["source"]: r.asDict() for r in summary.collect()}
+    assert sm["web"]["total_tokens"] == 40_000 and sm["web"]["rate"] == 0.25
+    # achieved ~ budget in expectation (md5 uniformity, 400 docs)
+    assert abs(sm["web"]["kept_tokens"] - 10_000) < 3_000
+    assert sm["books"]["kept_docs"] == 10 and sm["books"]["rate"] == 1.0
+    # repartition-stable
+    kept2, _ = budget_mixture(df.repartition(7), targets)
+    assert {(r["doc_id"], r["source"]) for r in kept2.collect()} == got
+
+
+def test_budget_mixture_rejects_unknown_source(spark):
+    import pytest
+
+    from pargraph_spark.operators.sampling import budget_mixture
+
+    df = spark.createDataFrame(
+        [(1, "web", 10)], "doc_id long, source string, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="absent sources"):
+        budget_mixture(df, {"web": 5, "nope": 5})

@@ -69,7 +69,16 @@ def betweenness(
     """Bounded-distance Brandes betweenness from `sources` (DataFrame
     (id); None = every vertex — exact k-betweenness, affordable only on
     small graphs). Returns (id, bc) over the full vertex set; vertices on
-    no bounded shortest path score 0. `directed=False` symmetrizes."""
+    no bounded shortest path score 0. `directed=False` symmetrizes.
+
+    Convention: scores accumulate per ROOTED traversal, so with
+    directed=False and all-vertex sources every geodesic contributes
+    from both endpoints — exactly 2x the NetworkX undirected value
+    (their final division by 2 is deliberately not applied: it would be
+    wrong for sampled `sources`, the operator's primary mode, where the
+    estimator is per-root accumulation scaled by the sample). Halve the
+    output to compare against NetworkX's betweenness_centrality on a
+    full undirected run."""
     if max_depth < 1:
         raise ValueError(f"betweenness requires max_depth >= 1, got {max_depth}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))

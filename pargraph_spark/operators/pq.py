@@ -20,11 +20,14 @@ decimals, the m-term score is accumulated in fixed subspace order, and
 the final ranking orders by round(score, 9) — all reproduced by an
 unrolled SQL oracle.
 
-Scale shape: training touches the corpus once per iteration — ONE
-mapInPandas (all m subspace argmins in a single Arrow pass, model
-broadcast as an (m,k,dsub) numpy array) + ONE partial-combined shuffle
-of (subspace, code, component) means; the driver holds m·k·dsub doubles,
-never data. Encoding is one mapInPandas pass. ADC search broadcasts the
+Scale shape: per training iteration, ONE mapInPandas assignment pass
+(all m subspace argmins in a single Arrow pass, model broadcast as an
+(m,k,dsub) numpy array), then the centroid means as an id-join of the
+assignments back to the corpus + posexplode + partial-combined
+(subspace, code, pos) aggregate; the driver holds m·k·dsub doubles,
+never data. (A known cheaper form emits the mean partials from the
+same Arrow pass as the argmins — no join, no explode; the join form is
+kept because the unrolled SQL oracle mirrors it term for term.) Encoding is one mapInPandas pass. ADC search broadcasts the
 query tables (nq·m·k doubles) and scans codes with m lookups per row;
 the per-query top-k compiles to WindowGroupLimit (map-side cut). No
 E-scale state beyond the (id, m-byte codes) table — the point of PQ.
@@ -110,10 +113,13 @@ def pq_train(
     S = np.round(np.array([list(r[vec_col]) for r in seed_rows]), QUANT)
     C = np.stack([S[:, j * dsub:(j + 1) * dsub] for j in range(m)])  # (m,k,dsub)
     model = PQModel(C, m, k, dim)
-    for it in range(iterations):
+    # `iterations` counts ASSIGNMENT passes (the oracle unrolls a0..a{N-1}
+    # the same way): consecutive passes re-estimate the codebook between
+    # them, so N passes = N-1 centroid updates, and the FINAL pass is the
+    # pq_encode the caller runs on the returned model — building it here
+    # too was dead code (review r5)
+    for _ in range(max(iterations - 1, 0)):
         assign = _encode_df(corpus, model, id_col, vec_col)
-        if it == iterations - 1:
-            break
         comp = (
             corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
             .join(assign, "id")

@@ -88,16 +88,24 @@ def ridge_fit(
     ycol = (F.col(target) if isinstance(target, str) else target).cast("long")
     p1 = len(cols)
     base = df.select(*cols, ycol.alias("_y"))
+    # rows with ANY null among the used columns are dropped WHOLE before
+    # the moments: per-moment null-skipping would build XtX/Xty over
+    # inconsistent row subsets and solve to silently wrong coefficients
+    cond = F.col("_y").isNotNull()
+    for i in range(p1):
+        cond = cond & F.col(f"_x{i}").isNotNull()
+    base = base.where(cond)
+    # operands cast to decimal BEFORE the product: a long*long per-row
+    # product overflows int64 at |x| ~ 3e9 (ANSI mode throws; non-ANSI
+    # silently wraps) — the wl.py decimal-aggregation discipline
+    d = lambda name: F.col(name).cast(_DEC)
     aggs = []
     for i in range(p1):
         for j in range(i, p1):
             aggs.append(
-                F.sum((F.col(f"_x{i}") * F.col(f"_x{j}")).cast(_DEC))
-                .alias(f"s_{i}_{j}")
+                F.sum(d(f"_x{i}") * d(f"_x{j}")).alias(f"s_{i}_{j}")
             )
-        aggs.append(
-            F.sum((F.col(f"_x{i}") * F.col("_y")).cast(_DEC)).alias(f"sy_{i}")
-        )
+        aggs.append(F.sum(d(f"_x{i}") * d("_y")).alias(f"sy_{i}"))
     row = base.agg(*aggs).first()
     s = lambda i, j: int(row[f"s_{min(i,j)}_{max(i,j)}"] or 0)
     a = [

@@ -162,6 +162,7 @@ def strongly_connected_components(
         # V-scale (AQE broadcasts the shrinking frontier side)
         colors = verts.withColumn("color", F.col("id")).localCheckpoint(eager=True)
         frontier = colors
+        fix = False
         for _ in range(max_inner):
             msgs = (
                 e_src.join(
@@ -184,7 +185,18 @@ def strongly_connected_components(
             changed = frontier.count()
             colors = new_colors.drop("_chg")
             if not changed:
+                fix = True
                 break
+        if not fix:
+            # a truncated coloring would silently FRAGMENT real SCCs (a
+            # cycle longer than max_inner would come back as singletons,
+            # flagged converged) — propagation depth is bounded by the
+            # longest simple path, so failing loudly is the only honest
+            # outcome
+            raise RuntimeError(
+                f"scc: forward coloring did not reach fixpoint within "
+                f"max_inner={max_inner} rounds — raise max_inner"
+            )
 
         # ---- 3. constrained backward sweep from roots — same delta rule:
         # membership is monotone, only NEWLY-joined members notify their
@@ -193,6 +205,7 @@ def strongly_connected_components(
             "in_scc", F.col("color") == F.col("id")
         ).localCheckpoint(eager=True)
         frontier = state.where("in_scc").select("id", "color")
+        fix = False
         for _ in range(max_inner):
             cand = (
                 e_dst.join(
@@ -223,7 +236,13 @@ def strongly_connected_components(
             changed = frontier.count()
             state = new_state.drop("_chg")
             if not changed:
+                fix = True
                 break
+        if not fix:
+            raise RuntimeError(
+                f"scc: backward sweep did not reach fixpoint within "
+                f"max_inner={max_inner} rounds — raise max_inner"
+            )
 
         # ---- 4. extract the discovered SCCs, shrink the active graph
         # (state is checkpointed, so members' lineage is shallow)
@@ -253,13 +272,17 @@ def strongly_connected_components(
         active_e = new_e
 
     active_e.unpersist()
+    if not converged:
+        # max_outer exhausted: the still-active vertices really do get
+        # scc=id rows (the comment's promise) so the output covers every
+        # vertex; converged=False tells the caller these are provisional
+        assigned.append(verts.select("id", F.col("id").alias("scc")))
     if assigned:
         out = assigned[0]
         for a in assigned[1:]:
             out = out.unionByName(a)
     else:
         out = spark.createDataFrame([], "id long, scc long")
-    # any vertex never assigned (max_outer hit) keeps itself — report honestly
     out = out.repartition(P, "id")
     return SCCResult(out, outer, converged, metrics)
 
@@ -284,6 +307,7 @@ def _closure_from(
     partitioned on src_col so the frontier join probes it in place."""
     visited = seed.select("id").localCheckpoint(eager=True)
     frontier = visited
+    done = False
     for _ in range(max_inner):
         nxt = (
             e.join(frontier.select(F.col("id").alias(src_col)), src_col)
@@ -294,11 +318,19 @@ def _closure_from(
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
+            done = True
             break
         visited = visited.unionByName(nxt).repartition(P, "id").localCheckpoint(
             eager=True
         )
         frontier = nxt
+    if not done:
+        # an unfinished closure silently mislabels bowtie regions — fail
+        # loudly (BFS depth is bounded by the graph diameter)
+        raise RuntimeError(
+            f"closure did not terminate within max_inner={max_inner} "
+            f"BFS rounds — raise max_inner"
+        )
     return visited.join(seed.select("id"), "id", "left_anti")
 
 
@@ -372,7 +404,17 @@ def bowtie_classify(
     rest = verts.join(labeled.select("id"), "id", "left_anti").withColumn(
         "region", F.lit("DISCONNECTED")
     )
-    return labeled.unionByName(rest).repartition(P, "id")
+    out = (
+        labeled.unionByName(rest)
+        .repartition(P, "id")
+        # V-scale result: materialize so every persisted input below can
+        # be released before return (ADVICE-class leak otherwise — two
+        # E-scale copies + five V-scale sets pinned for the app lifetime)
+        .localCheckpoint(eager=True)
+    )
+    for cached in (scc, core, e_src, e_dst, out_set, in_set, tubes):
+        cached.unpersist()
+    return out
 
 
 @dataclass
@@ -468,6 +510,10 @@ def condensation_layers(
     out = (
         comps.join(layers.select(F.col("c").alias("scc"), "layer"), "scc")
         .select("id", "scc", "layer")
+        # materialize BEFORE dropping the comps cache — unpersisting
+        # first would make every consumer action recompute the full SCC
+        # union that the persist was built to avoid
+        .localCheckpoint(eager=True)
     )
     ce_out = ce
     comps.unpersist()

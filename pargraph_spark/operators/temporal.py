@@ -177,8 +177,13 @@ def temporal_motifs(
     remaining endpoints, with the δ window as post-join filters; the
     wedge fan-out is bounded by hot_cap on the middle vertex's temporal
     degree (the butterflies.py hot-cap discipline: hubs are capped and
-    reported, not silently exploded). Edges hash-partition once on the
-    wedge key and are probed in place by both joins.
+    reported, not silently exploded). The edge table is persisted in
+    THREE copies, each partitioned on its join role's key — dst (e1's
+    wedge side), src (e2's), and the closing pair key — so every join
+    probes its copy in place and only wedge-scale intermediates ever
+    shuffle (the hits/salsa dual-copy discipline, extended to the
+    three-role triple join; r5 review fix — a single src-partitioned
+    copy re-exchanged E twice per call).
 
     Cites reference behavior only as absent: the reference engine has no
     temporal operators; this extends the same events surface that
@@ -203,14 +208,22 @@ def temporal_motifs(
             .join(F.broadcast(deg.withColumnRenamed("id", "dst")),
                   "dst", "left_anti")
         )
-    e = te.repartition(P, "src").persist()
-    e.count()
-    # wedge u→v→w: join on the middle vertex v = e1.dst = e2.src
+    e_dst = te.repartition(P, "dst").persist()
+    e_src = te.repartition(P, "src").persist()
+    # closing join is keyed ["u","w"]: cycle reads (w,u)=(src,dst) so the
+    # hash key (u,w) is (dst,src); ffl reads (u,w)=(src,dst) directly
+    close_key = ("dst", "src") if motif == "cycle" else ("src", "dst")
+    e_close = te.repartition(P, *close_key).persist()
+    e_dst.count()
+    e_src.count()
+    e_close.count()
+    # wedge u→v→w: join on the middle vertex v = e1.dst = e2.src — each
+    # side probes its co-partitioned copy in place
     wedge = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"),
-                 F.col("t").alias("t1"))
-        .join(e.select(F.col("src").alias("v"), F.col("dst").alias("w"),
-                       F.col("t").alias("t2")), "v")
+        e_dst.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                     F.col("t").alias("t1"))
+        .join(e_src.select(F.col("src").alias("v"), F.col("dst").alias("w"),
+                           F.col("t").alias("t2")), "v")
         .where(
             (F.col("t2") > F.col("t1"))
             & (F.col("t2") <= F.col("t1") + F.lit(delta))
@@ -218,11 +231,11 @@ def temporal_motifs(
         )
     )
     if motif == "cycle":
-        close = e.select(F.col("src").alias("w"), F.col("dst").alias("u"),
-                         F.col("t").alias("t3"))
+        close = e_close.select(F.col("src").alias("w"), F.col("dst").alias("u"),
+                               F.col("t").alias("t3"))
     else:  # ffl
-        close = e.select(F.col("src").alias("u"), F.col("dst").alias("w"),
-                         F.col("t").alias("t3"))
+        close = e_close.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                               F.col("t").alias("t3"))
     out = (
         wedge.join(close, ["u", "w"])
         .where(

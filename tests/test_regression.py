@@ -71,3 +71,31 @@ def test_ridge_singular_raises(spark):
     # ridge term rescues it
     res = ridge_fit(spark, df, ["x1", "x2"], "y", lam=1)
     assert res.det > 0
+
+
+def test_ridge_fit_large_values_no_overflow(spark):
+    from pargraph_spark.operators.regression import ridge_fit
+
+    # x ~ 4e9: x*x ~ 1.6e19 > int64 max — products must run in decimal
+    big = 4_000_000_000
+    rows = [(big + i, 2 * (big + i) + 7) for i in range(6)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    res = ridge_fit(spark, df, ["x"], "y", lam=0)
+    assert res.n == 6
+    assert abs(res.coefficients[1] - 2.0) < 1e-6
+    assert abs(res.coefficients[0] - 7.0) < 1e-2  # intercept, huge det
+
+
+def test_ridge_fit_drops_null_rows_whole(spark):
+    from pargraph_spark.operators.regression import ridge_fit
+
+    rows = [(1, 1, 3), (2, 1, 5), (3, 1, 7), (None, 1, 999), (4, None, 9)]
+    df = spark.createDataFrame(rows, "x1 int, x2 int, y int")
+    res = ridge_fit(spark, df, ["x1", "x2"], "y", lam=1)
+    # only the 3 fully-non-null rows count; the 999 outlier never enters
+    assert res.n == 3
+    clean = spark.createDataFrame(
+        [r for r in rows if None not in r], "x1 int, x2 int, y int"
+    )
+    ref = ridge_fit(spark, clean, ["x1", "x2"], "y", lam=1)
+    assert res.coefficients == ref.coefficients

@@ -155,3 +155,44 @@ def test_condensation_layers_random_vs_brute(spark):
     got = {r["id"]: (r["scc"], r["layer"]) for r in res.layers.collect()}
     for v, c in comps.items():
         assert got[v] == (c, layer[c]), v
+
+
+def test_scc_raises_on_inner_truncation(spark):
+    import pytest
+
+    from pargraph_spark.operators.scc import strongly_connected_components
+
+    # 12-cycle with max_inner=5: min-label propagation cannot reach
+    # fixpoint — a truncated run used to SILENTLY fragment the cycle
+    # into singletons with converged=True
+    n = 12
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_inner"):
+        strongly_connected_components(spark, e, max_inner=5)
+    # with enough rounds the cycle is one SCC
+    res = strongly_connected_components(spark, e, max_inner=50)
+    comps = {r["scc"] for r in res.components.collect()}
+    assert comps == {0} and res.converged
+
+
+def test_scc_max_outer_leftovers_are_reported(spark):
+    from pargraph_spark.operators.scc import strongly_connected_components
+
+    # two 2-cycles in a chain need two outer rounds; max_outer=1 must
+    # still return a row for EVERY vertex, flagged not-converged
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], "src long, dst long"
+    )
+    res = strongly_connected_components(spark, e, max_outer=1)
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == 1
+    # the unfinished pair keeps provisional self-ids, and the flag says so
+    assert got[3] == 3 and got[4] == 4
+    assert res.converged is False
+    full = strongly_connected_components(spark, e)
+    assert {r["id"]: r["scc"] for r in full.components.collect()} == {
+        1: 1, 2: 1, 3: 3, 4: 3,
+    }

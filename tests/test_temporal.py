@@ -196,3 +196,28 @@ def test_earliest_arrival_incremental_warm_start(spark):
     got = {r["id"]: r["arr"] for r in warm.arrivals.collect()}
     assert got == want
     assert warm.rounds <= cold.rounds
+
+
+def test_temporal_motifs_edges_probed_in_place(spark):
+    # r5 review fix: each of the three join roles probes its own
+    # co-partitioned persisted copy — no E-scale Exchange above any
+    # InMemoryTableScan in the executed plan
+    import datetime
+
+    from pargraph_spark.operators.temporal import temporal_motifs
+
+    t0 = datetime.datetime(2026, 1, 1)
+    te = spark.createDataFrame(
+        [(i % 7, (i + 1) % 7, t0 + datetime.timedelta(minutes=i)) for i in range(30)],
+        "src long, dst long, t timestamp",
+    )
+    out = temporal_motifs(spark, te, delta=datetime.timedelta(hours=2))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every scan of a persisted copy must be exchange-free on its side:
+    # an Exchange directly over an InMemoryTableScan means a copy was
+    # partitioned on the wrong key
+    import re
+
+    for mth in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)[^\n]*\n(?:\s*\+- )?\s*\*?\(?\d*\)? ?InMemoryTableScan", plan):
+        raise AssertionError("E-scale re-exchange over a persisted copy:\n" + mth.group(0))
+    assert plan.count("InMemoryTableScan") >= 3, plan

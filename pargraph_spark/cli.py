@@ -30,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
                                     "katz", "communities", "betweenness",
                                     "spammass", "densest", "temporalreach",
                                     "anchors", "wlroles", "localcluster",
-                                    "textrank", "effdiam",
+                                    "textrank", "effdiam", "curate",
                                     "hosts", "reach", "stats", "all"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (parquet/Iceberg)")
@@ -306,6 +306,54 @@ def main(argv: list[str] | None = None) -> int:
         summary["textrank"] = {"k": max(args.k, 1),
                                "terms": [r["term"] for r in kw.collect()]}
         kw.unpersist()
+    if args.job == "curate":
+        # the full LLM-curation funnel over the crawl, one job: extract →
+        # exact dedup → near-dup canonical election → quality + Gopher
+        # repetition filters → curated corpus + per-stage funnel counts
+        from pyspark.sql import functions as F
+
+        from pargraph_spark.functions.text import quality_score, token_count
+        from pargraph_spark.operators.dedup import (
+            exact_dedup,
+            near_dup_groups,
+        )
+        from pargraph_spark.operators.repetition import repetition_filter
+
+        docs = graph.extracted.select(
+            "url", F.xxhash64("url").alias("did"), "text"
+        ).persist()
+        n_in = docs.count()
+        keep_exact = exact_dedup(docs, "did", "text").select(
+            F.col("canonical_id").alias("did")
+        )
+        d1 = docs.join(keep_exact, "did", "left_semi").persist()
+        n_exact = d1.count()
+        drop_near = (
+            near_dup_groups(spark, d1, "did", "text")
+            .where(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias("did"))
+        )
+        d2 = d1.join(drop_near, "did", "left_anti")
+        q = d2.where(quality_score(F.col("text")) >= 0.35)
+        keep_rep = repetition_filter(q, id_col="did", text_col="text")
+        curated = (
+            q.join(keep_rep.withColumnRenamed("id", "did"), "did", "left_semi")
+            .select("url", "text", token_count(F.col("text")).alias("n_tokens"))
+            .persist()
+        )
+        n_out = curated.count()
+        curated.write.mode("overwrite").parquet(f"{args.output}/curated.parquet")
+        summary["curate"] = {
+            "pages_in": n_in,
+            "after_exact_dedup": n_exact,
+            "after_near_dedup_quality_repetition": n_out,
+            "tokens_out": int(
+                curated.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            ),
+        }
+        curated.unpersist()
+        d1.unpersist()
+        docs.unpersist()
     if args.job == "effdiam":
         from pargraph_spark.operators.reach import effective_diameter
 

@@ -227,3 +227,57 @@ def test_cli_wl_localcluster_textrank_effdiam_jobs(tmp_path):
     assert os.path.isdir(
         str(tmp_path / "localcluster" / "local_cluster.parquet"))
     assert os.path.isdir(str(tmp_path / "textrank" / "keywords.parquet"))
+
+
+def test_cli_curate_job_funnel(tmp_path):
+    import datetime
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pargraph_spark.session import get_spark
+
+    spark = get_spark(cores=2, shuffle_partitions=4)
+    t = datetime.datetime(2026, 3, 1)
+
+    def page(url, body):
+        return (url, t, f"<html><body>{body}</body></html>".encode(),
+                None, "en")
+
+    # genuinely varied token streams (no repeated 2-grams — the Gopher
+    # filter is sharp enough to catch templated "unique words alpha i")
+    body_a = "<p>" + " ".join(f"w{i} m{i * 7} z{i * 13}" for i in range(40)) + "</p>"
+    body_b = "<p>" + " ".join(f"q{i} r{i * 11} s{i * 17}" for i in range(40)) + "</p>"
+    rows = [
+        page("a.com/original", body_a),
+        page("a.com/mirror", body_a),  # exact dup of another URL
+        page("a.com/other", body_b),
+        page("a.com/spam", "<p>" + "buy now " * 80 + "</p>"),  # repetition
+    ]
+    src = str(tmp_path / "pages_in")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "curate")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pargraph_spark.cli", "curate",
+         "--pages", src, "--output", out, "--cores", "2",
+         "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])["curate"]
+    assert summary["pages_in"] == 4
+    assert summary["after_exact_dedup"] == 3  # mirror dropped
+    # spam page dropped by the repetition filter
+    assert summary["after_near_dedup_quality_repetition"] == 2
+    assert summary["tokens_out"] > 0
+    assert os.path.isdir(os.path.join(out, "curated.parquet"))
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(os.path.join(out, "curated.parquet")).collect()
+    }
+    assert kept == {"a.com/original", "a.com/other"}

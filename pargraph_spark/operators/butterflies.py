@@ -71,7 +71,10 @@ def butterfly_counts(
         .where(F.col("c") >= 2)
         .select(
             "a", "b", "c",
-            (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("bf"),
+            # integer div: '/' is DOUBLE division in Spark and silently
+            # rounds once c*(c-1) passes 2^53 — the module's exactness
+            # claim held only up to c ~ 9.5e7 before this fix
+            F.expr("c * (c - 1) div 2").alias("bf"),
         )
     )
     per_pair = pairs

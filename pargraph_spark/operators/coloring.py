@@ -128,10 +128,15 @@ def greedy_coloring(
                 F.coalesce(_mex(F.col("_ncs")), F.lit(0)).alias("color"),
             )
         wcol = wcol.localCheckpoint(eager=True)
-        colored = (
-            wcol if colored is None
-            else colored.unionByName(wcol).localCheckpoint(eager=True)
-        )
+        if colored is None:
+            colored = wcol
+        else:
+            old_colored = colored
+            colored = colored.unionByName(wcol).localCheckpoint(eager=True)
+            # release the superseded union checkpoint (the landmarks.py
+            # growing-union discipline) — review r5: O(V) blocks per
+            # round accumulated for the session lifetime otherwise
+            old_colored.unpersist()
         new_und = und.join(wcol.select("id"), "id", "left_anti").localCheckpoint(
             eager=True
         )

@@ -139,7 +139,15 @@ def estimate_distances(
     (exact whenever some landmark lies on a shortest a-b path; est is
     NULL-free — pairs sharing no reached landmark are omitted, like
     unreached vertices in bfs.py). Two sketch joins keyed on landmark;
-    no graph traversal at query time."""
+    no graph traversal at query time.
+
+    REQUIRES a sketch built with landmark_distances(symmetric=True):
+    the sum uses d(l, a) as a stand-in for d(a, l), which holds only on
+    the symmetrized graph. A symmetric=False (directed) sketch stores
+    only landmark→vertex distances, so d(l,a)+d(l,b) bounds NOTHING
+    about the directed a→b distance (the directed CIKM'09 form needs a
+    second, reverse-edge sketch: run landmark_distances on the reversed
+    edge table and sum d_rev(l,a) + d_fwd(l,b))."""
     da = sketch.select(
         F.col("landmark"), F.col("id").alias("a"), F.col("dist").alias("_da")
     )

@@ -70,7 +70,8 @@ def maximal_matching(
     rounds, converged = 0, False
     for r in range(1, max_rounds + 1):
         t0 = time.monotonic()
-        if active.limit(1).count() == 0:
+        n_act = active.count()
+        if n_act == 0:
             converged = True
             break
         pri = active.select(
@@ -121,8 +122,11 @@ def maximal_matching(
         matches = new_m if matches is None else matches.unionByName(new_m)
         active = new_active
         rounds = r
+        # engine convention (metrics.py): edges = rows processed this
+        # superstep, delta = new rows — review r5 found these swapped,
+        # which skewed cross-operator edges_per_sec comparisons
         metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
-                                    n_new, float("nan")))
+                                    n_act, float(n_new)))
     if matches is None:
         matches = spark.createDataFrame([], "u long, v long")
     return MatchingResult(matches.localCheckpoint(eager=True), rounds, converged,

@@ -76,6 +76,12 @@ def scan_clusters(
     p, q = int(eps2[0]), int(eps2[1])
     if p <= 0 or q <= 0 or p > q:
         raise ValueError(f"eps2 must be a rational 0 < p/q <= 1, got {eps2}")
+    if mu < 2:
+        # with mu <= 1 every vertex is a core through its self-similarity
+        # (sigma(v,v)=1), which this edge-driven implementation does not
+        # model (isolated-in-eps vertices never appear in ecnt) — reject
+        # rather than silently under-clustering
+        raise ValueError(f"mu must be >= 2 (SCAN's standard range), got {mu}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     # und is deliberately NOT persisted: measured at sf0.01 the cache
     # build+scan costs more than recomputing the distinct for each
@@ -99,14 +105,20 @@ def scan_clusters(
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
     )
-    cp2 = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(2)).cast("long")
+    # predicate products in decimal(38,0): p*(da+1)*(db+1) on hub-hub
+    # edges overflows int64 (ANSI throws, non-ANSI silently flips the
+    # edge decision) — the densest.py/wl.py decimal discipline
+    _dec = "decimal(38,0)"
+    cp2 = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(2)).cast(_dec)
     eps_edges = (
         und.join(supp, ["a", "b"], "left")
         .join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
         .where(
-            F.lit(p) * (F.col("da") + 1) * (F.col("db") + 1)
-            <= F.lit(q) * cp2 * cp2
+            F.lit(p).cast(_dec)
+            * (F.col("da") + 1).cast(_dec)
+            * (F.col("db") + 1).cast(_dec)
+            <= F.lit(q).cast(_dec) * cp2 * cp2
         )
         .select("a", "b")
         .repartition(P, "a")
@@ -170,10 +182,16 @@ def scan_clusters(
             .alias("role"),
         )
     )
-    out = assigned.unionByName(rest_asg).select(
-        "id", F.col("cluster").cast("long").alias("cluster"), "role"
+    out = (
+        assigned.unionByName(rest_asg)
+        .select("id", F.col("cluster").cast("long").alias("cluster"), "role")
+        # materialize, then release every persisted input (review r5:
+        # eps_edges/cores/assigned leaked cache for the session lifetime)
+        .localCheckpoint(eager=True)
     )
     n_clusters = core_asg.select("cluster").distinct().count()
+    for cached in (eps_edges, cores, assigned):
+        cached.unpersist()
     metrics = JobMetrics("scan")
     for m in cc.metrics.supersteps:
         metrics.add(m)

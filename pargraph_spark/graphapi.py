@@ -381,13 +381,45 @@ def graph(function: Callable) -> Callable:
 
 
 def _materialize(result):
+    """Compute every Delayed inside a direct-call @graph result. Handles
+    the same container shapes _iter_deps traverses (list/tuple/dict/set)
+    — review r5: a body returning [d1, d2] used to leak uncomputed
+    Delayed objects to the caller, breaking the direct-call identity.
+    All found nodes go through ONE compute() call so shared subgraphs
+    stay memoized across container elements."""
     if isinstance(result, Delayed):
         return result.compute()
-    if isinstance(result, tuple) and any(isinstance(r, Delayed) for r in result):
-        roots = [r for r in result if isinstance(r, Delayed)]
-        values = iter(compute(*roots))
-        return tuple(next(values) if isinstance(r, Delayed) else r for r in result)
-    return result
+    found: list = []
+
+    def collect(x):
+        if isinstance(x, Delayed):
+            found.append(x)
+        elif isinstance(x, (list, tuple, set)):
+            for v in x:
+                collect(v)
+        elif isinstance(x, dict):
+            for v in x.values():
+                collect(v)
+
+    collect(result)
+    if not found:
+        return result
+    values = {id(d): v for d, v in zip(found, compute(*found))}
+
+    def subst(x):
+        if isinstance(x, Delayed):
+            return values[id(x)]
+        if isinstance(x, list):
+            return [subst(v) for v in x]
+        if isinstance(x, tuple):
+            return tuple(subst(v) for v in x)
+        if isinstance(x, set):
+            return {subst(v) for v in x}
+        if isinstance(x, dict):
+            return {k: subst(v) for k, v in x.items()}
+        return x
+
+    return subst(result)
 
 
 def _walk(roots: list[Delayed]) -> list[Delayed]:
@@ -397,16 +429,26 @@ def _walk(roots: list[Delayed]) -> list[Delayed]:
     order: list[Delayed] = []
     seen: set[int] = set()
 
-    def visit(node: Delayed) -> None:
-        if id(node) in seen:
-            return
-        seen.add(id(node))
-        for dep in _node_deps(node):
-            visit(dep)
-        order.append(node)
-
+    # iterative post-order: deep linear chains (thousands of overload
+    # nodes — fuse_sequential's own target workload) blew Python's
+    # recursion limit in the recursive form (review r5)
     for r in roots:
-        visit(r)
+        stack: list[tuple[Delayed, bool]] = [(r, False)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded:
+                order.append(node)
+                continue
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            stack.append((node, True))
+            # push deps reversed so they pop (and append) in
+            # left-to-right order — identical order to the recursive walk
+            for dep in reversed(list(_node_deps(node))):
+                stack.append((dep, False))
+        # (a dep already seen but not yet appended cannot occur on the
+        # same root: seen is only set when its post-visit is scheduled)
     return order
 
 
@@ -908,10 +950,42 @@ class TaskGraph:
                 parts = key.split(":")
                 # edge-list form nodes:k:outputs:o, node-args form nodes:k:o
                 nid = parts[1]
-                return build_node(nid)
+                node = build_node(nid)
+                # a named output of a MULTI-output node selects that
+                # element (review r5: dropping the name silently handed
+                # consumers the whole tuple); single-output nodes pass
+                # through whatever the name is
+                if len(parts) >= 4 and parts[2] == "outputs":
+                    declared = list(doc["nodes"][nid].get("outputs") or [])
+                    if len(declared) > 1:
+                        oname = parts[3]
+                        if oname not in declared:
+                            raise ValueError(
+                                f"node {nid!r} has no output {oname!r} "
+                                f"(declares {declared})"
+                            )
+                        i = declared.index(oname)
+                        return Delayed(
+                            operator.getitem, (node, i), {},
+                            name=f"{nid}:{oname}",
+                        )
+                return node
             raise ValueError(f"invalid source key {key!r}")
 
-        roots = [resolve_src(v) for _, v in sorted(doc.get("outputs", {}).items())]
+        def _natkey(k: str):
+            # numeric-aware: result_10 must sort after result_2 (a plain
+            # lexicographic sort permuted roots for graphs with 11+
+            # outputs — silently wrong positional results)
+            return [
+                int(p) if p.isdigit() else p for p in re.split(r"(\d+)", k)
+            ]
+
+        roots = [
+            resolve_src(v)
+            for _, v in sorted(
+                doc.get("outputs", {}).items(), key=lambda kv: _natkey(kv[0])
+            )
+        ]
         return cls(roots)
 
     # ---- user-invocable rewrites (reference objects.py:653-932) --------
@@ -985,6 +1059,12 @@ class TaskGraph:
                         orig_parent is not None
                         and id(orig_parent) not in roots
                         and len(consumers.get(id(orig_parent), [])) == 1
+                        # never fuse an external_input placeholder: the
+                        # fused closure's fn is no longer _unbound_input,
+                        # so compute()'s input binding would miss it and
+                        # the closure would raise 'unbound' even for a
+                        # bound input (review r5)
+                        and orig_parent.fn is not _unbound_input
                     ):
                         parent = cand
                 if parent is not None:

@@ -154,6 +154,14 @@ def decode_image(media: DataFrame, target_size: tuple[int, int] = (64, 64)) -> D
         for pdf in batches:
             rows = {"media_id": pdf["media_id"], "width": [], "height": [], "pixels": []}
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload (failed fetch upstream): null row, not
+                    # a worker TypeError that kills the whole job — the
+                    # guard the sibling kernels already have (review r5)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["pixels"].append(None)
+                    continue
                 w, h, rgb = decode_payload(bytes(payload))
                 rows["width"].append(w)
                 rows["height"].append(h)

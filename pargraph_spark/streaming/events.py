@@ -46,7 +46,14 @@ _US = 1_000_000
 def read_event_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     r = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # validate here, not at query start — and never treat 0 as
+        # "unthrottled" (a falsy check silently dropped the option, the
+        # OPPOSITE of the requested throttle; review r5)
+        if int(max_files_per_trigger) < 1:
+            raise ValueError(
+                f"max_files_per_trigger must be >= 1, got {max_files_per_trigger}"
+            )
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return r.parquet(input_dir)
 
@@ -154,4 +161,10 @@ def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a silent timeout would hand the caller a PARTIAL memory table
+        # while the query keeps draining behind their back (review r5)
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain within {timeout_s}s"
+        )

@@ -675,3 +675,66 @@ def test_pargraph_wire_format_rejects_container_delayed():
 
     with pytest.raises(ValueError, match="cannot represent a Delayed"):
         TaskGraph([total([one(), 2])]).to_pargraph_json()
+
+
+def test_fuse_preserves_external_input_binding():
+    from pargraph_spark.graphapi import delayed, external_input
+
+    @delayed
+    def inc(v):
+        return v + 1
+
+    x = external_input("x")
+    root = inc(inc(x))
+    g = root.to_graph().fuse_sequential()
+    # review r5: fusing the placeholder node broke compute-time binding
+    assert g.compute(inputs={"x": 5}) == [7]
+
+
+def test_pargraph_json_many_roots_order():
+    from pargraph_spark.graphapi import TaskGraph, delayed
+
+    @delayed
+    def val(v):
+        return v * 10
+
+    roots = [val(i) for i in range(12)]
+    g = TaskGraph(roots)
+    s = g.to_pargraph_json()
+    back = TaskGraph.from_pargraph_json(s)
+    # review r5: lexicographic sort permuted result_10 before result_2
+    assert back.compute() == [i * 10 for i in range(12)]
+
+
+def test_graph_direct_call_materializes_containers():
+    from pargraph_spark.graphapi import delayed, graph
+
+    calls = []
+
+    @delayed
+    def base(v):
+        calls.append(v)
+        return v * 2
+
+    @graph
+    def both(n):
+        shared = base(n)
+        return [shared, {"s": shared}]
+
+    out = both(4)
+    assert out == [8, {"s": 8}]
+    # one compute() call: the shared node ran once, not per container slot
+    assert calls == [4]
+
+
+def test_walk_survives_deep_overload_chain():
+    from pargraph_spark.graphapi import delayed
+
+    @delayed
+    def one():
+        return 1
+
+    x = one()
+    for _ in range(3000):
+        x = x + 1
+    assert x.compute() == 3001

@@ -152,3 +152,15 @@ def test_fake_decode_features_deterministic(spark, media):
     b = {r["media_id"]: list(r["feat"]) for r in fake_decode_features(media).collect()}
     assert a == b
     assert all(len(v) == 8 for v in a.values())
+
+
+def test_decode_image_null_payload_yields_null_row(spark):
+    # review r5: bytes(None) in the kernel killed the whole job on one
+    # NULL payload (failed fetch upstream); must yield a null row instead
+    rgb = _pattern_rgb(4, 3)
+    rows = [(1, _encode_bmp24(4, 3, rgb)), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", kind="bmp")
+    got = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 3
+    assert got[2]["width"] is None and got[2]["pixels"] is None

@@ -79,11 +79,24 @@ def extract_text_and_links(html: bytes | str | None) -> tuple[str, list[str]]:
     return text, parser._links
 
 
+_BLOCK_CLOSES_ANCHOR = frozenset(
+    {
+        "p", "div", "li", "ul", "ol", "table", "tr", "td", "th",
+        "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+        "aside", "header", "footer", "nav", "blockquote", "body",
+        "form", "pre",
+    }
+)
+
+
 class _AnchorExtractor(HTMLParser):
     """Anchor-text capture, separate from _Extractor so the byte-identical
     (text, links) invariant above is untouched. An <a> opening inside an
     open anchor implicitly closes it (HTML forbids nesting); text inside
-    skip elements is never anchor text."""
+    skip elements is never anchor text. Block-level boundaries (open or
+    close) also close an open anchor — HTML5-recovery-style — so an
+    UNCLOSED <a> (malformed page, or one opened inside <head>) cannot
+    swallow the rest of the document as its anchor text (review r5)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -102,6 +115,8 @@ class _AnchorExtractor(HTMLParser):
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in _SKIP_CONTENT and tag not in _VOID:
             self._skip_depth += 1
+        if tag in _BLOCK_CLOSES_ANCHOR:
+            self._finalize()
         if tag == "a":
             self._finalize()
             for name, value in attrs:
@@ -112,7 +127,7 @@ class _AnchorExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_CONTENT and self._skip_depth > 0:
             self._skip_depth -= 1
-        if tag == "a":
+        if tag == "a" or tag in _BLOCK_CLOSES_ANCHOR:
             self._finalize()
 
     def handle_data(self, data: str) -> None:

@@ -71,6 +71,10 @@ def kmeans_cosine(
     """Fixed-iteration Lloyd's k-means under cosine similarity."""
     if k < 1:
         raise ValueError(f"kmeans_cosine requires k >= 1, got {k}")
+    if iterations < 1:
+        # iterations=0 would return assignments=None and crash callers
+        # far from the misuse (review r5)
+        raise ValueError(f"kmeans_cosine requires iterations >= 1, got {iterations}")
     seed_rows = (
         corpus.orderBy(F.asc(id_col)).limit(k).select(id_col, vec_col).collect()
     )

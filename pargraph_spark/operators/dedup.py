@@ -62,7 +62,12 @@ def minhash_signatures(
 
 def lsh_bands(sig: DataFrame, num_hashes: int = 8, num_bands: int = 4) -> DataFrame:
     """(id, band, sig) — band signature = md5 of its row concat."""
-    assert num_hashes % num_bands == 0
+    if num_hashes % num_bands != 0:
+        # a bare assert is stripped under -O, silently building bands
+        # from a hash prefix and changing the S-curve (review r5)
+        raise ValueError(
+            f"num_bands must divide num_hashes, got {num_hashes=}, {num_bands=}"
+        )
     r = num_hashes // num_bands
     bands = F.array(
         *[
@@ -219,6 +224,11 @@ def winnow_pairs(
     fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
     if max_postings is not None:
         fp = _drop_hot_buckets(fp, ["wfp"], max_postings)
+    # lazy persist: the per-position md5 + sliding-window winnowing pass
+    # is the operator's dominant cost and feeds BOTH self-join sides —
+    # unpersisted it ran twice (review r5; the minhash_dedup_pairs
+    # precedent)
+    fp = fp.persist()
     left = fp.select(F.col("id").alias("a"), "wfp")
     right = fp.select(F.col("id").alias("b"), "wfp")
     return (

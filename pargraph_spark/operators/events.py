@@ -17,6 +17,8 @@ per-user event counts, not table size.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -72,7 +74,11 @@ def props_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull props.k (JSON) and aggregate per
     event_type — (event_type, n_events, k_sum, k_min, k_max). All-integer
     aggregates: exact across engines."""
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a non-integral props.k ('1.5', 'n/a') must become NULL,
+    # not a CAST_INVALID_INPUT that kills the whole aggregation under
+    # Spark 4's default ANSI mode (review r5); DuckDB's plain CAST of the
+    # oracle only ever sees the valid-integer testdata, so parity holds
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -109,7 +115,9 @@ def value_quantiles(
     sketch internals are engine-specific.
 
     Output: (group?, p, q) — one row per requested quantile."""
-    accuracy = max(1, int(1.0 / relative_error))
+    # ceil, not floor: int(1/0.03)=33 would deliver 1/33 > 0.03 rank
+    # error — slightly WORSE than requested (review r5)
+    accuracy = max(1, math.ceil(1.0 / relative_error))
     ps = list(probs)
     agg = (
         F.percentile(F.col(col), F.array(*[F.lit(p) for p in ps]))

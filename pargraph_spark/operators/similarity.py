@@ -78,7 +78,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm clamp (the _assign_df discipline): an all-zeros vector
+    # otherwise scores 0/0 = NaN, which Spark's desc-sort ranks ABOVE 1.0
+    # while the pandas partial top-k sorts it last — partition-dependent
+    # top-k output (review r5). The clamp is a no-op for any real vector
+    # (norms are either 0 or >> 1e-300), so oracled values are unchanged.
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -240,6 +245,7 @@ def cosine_near_dup_bucketed(
     planes_per_table: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via hyperplane-LSH banding + exact verify —
     the scale path promised (and missing) in round 1.
@@ -257,9 +263,28 @@ def cosine_near_dup_bucketed(
     near-dup band — and tests assert exact set-equality with the brute
     tier there. At production thresholds (≥0.9) use r=8-12, L=8-16.
     """
+    # persist: the signature pass (full-corpus Arrow matmul) feeds BOTH
+    # self-join sides with different projections — unpersisted it runs
+    # twice (review r5). Lazy persist; backing cache released with the
+    # session (the winnow_pairs/hits convention for result-backing caches).
     sigs = hyperplane_signatures(
         corpus, dim, num_tables, planes_per_table, id_col, vec_col, out_id="_sid"
-    )
+    ).persist()
+    if max_bucket is not None:
+        # declared hot-bucket cap (the dedup.py _drop_hot_buckets
+        # discipline, review r5): a dense (t, sig) bucket — duplicated
+        # boilerplate embeddings, or low r on a big corpus — grows the
+        # self-join quadratically in its size; members of buckets over
+        # the cap pair through their OTHER tables only. At r=2 defaults
+        # (4 buckets/table) a cap is effectively mandatory at corpus
+        # scale; default None preserves the exact contract.
+        hot = (
+            sigs.groupBy("t", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > int(max_bucket))
+            .select("t", "sig")
+        )
+        sigs = sigs.join(F.broadcast(hot), ["t", "sig"], "left_anti")
     left = sigs.select(F.col("_sid").alias("a"), "t", "sig")
     right = sigs.select(F.col("_sid").alias("b"), "t", "sig")
     cand = (
@@ -308,12 +333,18 @@ def lsh_ann_topk(
         queries, dim, num_tables, planes_per_table, id_col, vec_col, out_id="query_id"
     )
     if multiprobe_bits >= 1:
+        # probe the query's own bucket plus every bucket within Hamming
+        # distance <= multiprobe_bits (review r5: bits >= 2 used to
+        # silently degrade to 1 — the recall knob did nothing)
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << p for p in bits)
+            for r_ in range(1, min(multiprobe_bits, planes_per_table) + 1)
+            for bits in combinations(range(planes_per_table), r_)
+        ]
         probes = F.array(
-            F.col("sig"),
-            *[
-                F.col("sig").bitwiseXOR(F.lit(1 << p))
-                for p in range(planes_per_table)
-            ],
+            *[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks]
         )
         qsig = qsig.select(
             "query_id", "t", F.explode(probes).alias("sig")

@@ -93,3 +93,17 @@ def test_anchor_edges_on_synth_pages(spark):
         ordered = sorted(rs, key=lambda r: r["rn"])
         ns = [r["n_pages"] for r in ordered]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_extract_anchors_unclosed_anchor_bounded_by_blocks():
+    # review r5: an <a> never closed (e.g. opened inside <head>) used to
+    # swallow the whole rest of the document as its anchor text
+    html = '<head><a href="/x"></head><body><p>Hello world</p><p>etc</p></body>'
+    got = extract_anchors(html)
+    assert got == [("/x", "")]  # closed at the <body> boundary, empty text
+    # inline markup still collects across the anchor
+    got2 = extract_anchors('<a href="/y">go <b>here</b> now</a> trailing')
+    assert got2 == [("/y", "go here now")]
+    # block boundary inside an open anchor closes it
+    got3 = extract_anchors('<a href="/z">start<p>not anchor text')
+    assert got3 == [("/z", "start")]

@@ -167,8 +167,15 @@ def connected_components(
                               "converged": True})
 
     # at fixpoint e is (child, parent=component-min); roots + isolated map to self
+    parents = e.select(F.col("u").alias("id"), F.col("v").alias("c"))
+    if not converged:
+        # mid-iteration e is NOT yet a star forest: a vertex can carry
+        # several parent edges, and the join below would emit duplicate
+        # conflicting (id, component) rows (review r5). min() keeps the
+        # one-row-per-id contract; converged runs skip the extra agg.
+        parents = parents.groupBy("id").agg(F.min("c").alias("c"))
     comp = (
-        all_vertices.join(e.select(F.col("u").alias("id"), F.col("v").alias("c")), "id", "left")
+        all_vertices.join(parents, "id", "left")
         .select("id", F.coalesce("c", "id").alias("component"))
         .localCheckpoint(eager=True)
     )

@@ -45,6 +45,22 @@ def quantize(c: Column) -> Column:
     return F.round(c * F.lit(GRID)) / F.lit(GRID)
 
 
+def _norm_quant(df: DataFrame, col: str) -> DataFrame:
+    """L1-normalize `col` over the frame (broadcast 1-row total) and
+    quantize — shared by hits() and salsa() (the two copies had started
+    from identical text; one helper keeps them from diverging)."""
+    tot = df.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            quantize(
+                F.when(F.col("_t") > 0, F.col(col) / F.col("_t")).otherwise(F.lit(0.0))
+            ).alias(col),
+        )
+    )
+
+
 @dataclass
 class HitsResult:
     scores: DataFrame  # (id, hub double, authority double)
@@ -81,21 +97,18 @@ def hits(
         .distinct()
     ).repartition(P, "id").persist()
     n = verts.count()
-
-    def _norm_quant(df: DataFrame, col: str) -> DataFrame:
-        tot = df.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
-        return (
-            df.crossJoin(F.broadcast(tot))
-            .select(
-                "id",
-                quantize(
-                    F.when(F.col("_t") > 0, F.col(col) / F.col("_t")).otherwise(F.lit(0.0))
-                ).alias(col),
-            )
-        )
+    if n == 0:
+        # empty graph: return the empty frame, don't ZeroDivisionError on
+        # the uniform init (the pagerank guard; review r5)
+        verts.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
+        empty = spark.createDataFrame([], "id long, hub double, authority double")
+        return HitsResult(empty, 0)
 
     h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).localCheckpoint(eager=True)
     a = None
+    prev_a = None
     for _ in range(iterations):
         a_raw = (
             e_src.join(h, e_src["src"] == h["id"])
@@ -118,6 +131,9 @@ def hits(
             "hub",
         ).localCheckpoint(eager=True)
         h.unpersist()
+        if prev_a is not None:
+            prev_a.unpersist()  # superseded authority snapshot (review r5)
+        prev_a = a
         h = new_h
     out = h.join(a, "id").select("id", "hub", "authority")
     e_src.unpersist()
@@ -185,21 +201,18 @@ def salsa(
         .distinct()
     ).repartition(P, "id").persist()
     n = verts.count()
-
-    def _norm_quant(df: DataFrame, col: str) -> DataFrame:
-        tot = df.agg(F.coalesce(F.sum(col), F.lit(0.0)).alias("_t"))
-        return (
-            df.crossJoin(F.broadcast(tot))
-            .select(
-                "id",
-                quantize(
-                    F.when(F.col("_t") > 0, F.col(col) / F.col("_t")).otherwise(F.lit(0.0))
-                ).alias(col),
-            )
-        )
+    if n == 0:
+        # empty graph: return the empty frame, don't ZeroDivisionError on
+        # the uniform init (the pagerank guard; review r5)
+        verts.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
+        empty = spark.createDataFrame([], "id long, hub double, authority double")
+        return SalsaResult(empty, 0)
 
     h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).localCheckpoint(eager=True)
     a = None
+    prev_a = None
     for _ in range(iterations):
         a_raw = (
             e_src.join(h, e_src["src"] == h["id"])
@@ -222,6 +235,9 @@ def salsa(
             "hub",
         ).localCheckpoint(eager=True)
         h.unpersist()
+        if prev_a is not None:
+            prev_a.unpersist()  # superseded authority snapshot (review r5)
+        prev_a = a
         h = new_h
     out = h.join(a, "id").select("id", "hub", "authority")
     e_src.unpersist()

@@ -13,9 +13,11 @@ pagerank/labelprop/bfs): the symmetrized edge table lives partitioned on
 the probe key and is FILTERED each round by anti-joins against the
 round's peeled set — co-partitioned on the u side, AQE-broadcast on the
 v side once peeling localizes (after round 1 the peeled set is small);
-degrees are one partial-combined aggregate; the loop localCheckpoints
-the surviving edge set to truncate lineage
-(ref-count-release analogue, /root/reference/pargraph/engine/
+degrees are one partial-combined aggregate; the loop persists each
+round's surviving edge set repartitioned on u and releases the
+superseded one (persist, not localCheckpoint — an ExistingRDD scan
+reports unknown partitioning and would re-exchange E every round; the
+release is the ref-count analogue of /root/reference/pargraph/engine/
 engine.py:63-76). At 10^12 edges the peel typically converges in tens of
 rounds and every round's shuffle is bounded by the CURRENT survivor set,
 which only shrinks.
@@ -31,11 +33,14 @@ from pyspark.sql import functions as F
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
+from .edges import symmetrize
+
 
 @dataclass
 class KCoreResult:
     vertices: DataFrame  # (id, deg) — k-core members with their core degree
     rounds: int
+    converged: bool = True  # False: max_rounds hit before the peel fixpoint
     metrics: JobMetrics = field(default_factory=lambda: JobMetrics("kcore"))
 
 
@@ -52,16 +57,15 @@ def kcore(
     if k < 1:
         raise ValueError(f"kcore requires k >= 1, got {k}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    sym = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .repartition(P, "u")
-        .localCheckpoint(eager=True)
-    )
+    # persist, NOT localCheckpoint (review r5): an ExistingRDD scan
+    # reports unknown partitioning, so a checkpointed edge table was
+    # re-exchanged by every round's groupBy('u')/anti-join despite the
+    # explicit repartition — the SCC trim-loop persist pattern keeps
+    # hash(u) visible across rounds
+    sym = symmetrize(edges).repartition(P, "u").persist()
     metrics = JobMetrics("kcore")
     rounds = 0
+    converged = False
     # carried across rounds: last round's n_after IS this round's n_before
     # (re-counting sym each round cost one extra Spark job per peel round —
     # VERDICT r3 nit)
@@ -78,22 +82,33 @@ def kcore(
         survived = (
             sym.join(peeled, "u", "left_anti")
             .join(peeled.select(F.col("u").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .repartition(P, "u")
+            .persist()
         )
         n_after = survived.count()
         metrics.add(
             SuperstepMetric(r, (time.monotonic() - t0) * 1000.0, n_before,
                             float(n_before - n_after))
         )
+        sym.unpersist()
         sym = survived
         if n_after == n_before:
+            converged = True
             break
         rounds = r
         n_before = n_after
         if n_after == 0:
+            converged = True
             break
-    core = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
-    return KCoreResult(core, rounds, metrics)
+    # review r5: max_rounds exhaustion used to be indistinguishable from
+    # a converged run — the returned set is then a SUPERSET of the k-core
+    core = (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return KCoreResult(core, rounds, converged, metrics)
 
 
 @dataclass
@@ -295,8 +310,8 @@ def score_core(
     treated undirected, self-loops dropped, parallel edges keep max w
     (deterministic symmetrization). Same plan discipline as kcore: one
     partial-combined strength aggregate + two anti-joins per round
-    (peeled side broadcasts once peeling localizes), localCheckpoint
-    truncates the per-round lineage; result vertices carry their in-core
+    (peeled side broadcasts once peeling localizes), per-round persist
+    keeps the u-partitioning visible (review r5); result vertices carry their in-core
     strength."""
     if s < 1:
         raise ValueError(f"score_core requires s >= 1, got {s}")
@@ -310,10 +325,11 @@ def score_core(
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
         .repartition(P, "u")
-        .localCheckpoint(eager=True)
+        .persist()  # persist keeps hash(u) visible per round (see kcore)
     )
     metrics = JobMetrics("score_core")
     rounds = 0
+    converged = False
     n_before = sym.count()
     for r in range(1, max_rounds + 1):
         t0 = time.monotonic()
@@ -322,21 +338,28 @@ def score_core(
         survived = (
             sym.join(peeled, "u", "left_anti")
             .join(peeled.select(F.col("u").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .repartition(P, "u")
+            .persist()
         )
         n_after = survived.count()
         metrics.add(
             SuperstepMetric(r, (time.monotonic() - t0) * 1000.0, n_before,
                             float(n_before - n_after))
         )
+        sym.unpersist()
         sym = survived
         if n_after == n_before:
+            converged = True
             break
         rounds = r
         n_before = n_after
         if n_after == 0:
+            converged = True
             break
-    core = sym.groupBy(F.col("u").alias("id")).agg(
-        F.sum("w").alias("strength")
+    core = (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.sum("w").alias("strength"))
+        .localCheckpoint(eager=True)
     )
-    return KCoreResult(core, rounds, metrics)
+    sym.unpersist()
+    return KCoreResult(core, rounds, converged, metrics)

@@ -134,7 +134,12 @@ def label_propagation(
         old.unpersist()
         metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0, n_sym, float(changed)))
         if ckpt and (it % checkpoint_every == 0):
-            ckpt.save(labels, it, {"changed": int(changed)})
+            # record convergence even when it lands ON a cadence multiple
+            # (review r5: the periodic save lacked the flag, so a resume
+            # re-ran one superstep past the fixpoint and reported a
+            # different iteration count than an uninterrupted run)
+            ckpt.save(labels, it, {"changed": int(changed),
+                                   "converged": changed == 0})
         if changed == 0:
             converged = True
             break
@@ -190,7 +195,11 @@ def seeded_label_propagation(
         .distinct()
     )
     sd = seeds.select("id", F.col("label").cast("long").alias("_seed"))
-    base = all_vertices.join(sd, "id", "left")
+    # persist: base (V-scale, built from an E-scale union+distinct) is
+    # re-joined EVERY iteration for the seed clamp — unpersisted, each
+    # superstep re-scanned the edge table twice (review r5; the
+    # label_propagation all_vertices precedent)
+    base = all_vertices.join(sd, "id", "left").repartition(P, "id").persist()
     labels = base.select(
         "id", F.col("_seed").alias("label")
     ).localCheckpoint(eager=True)
@@ -231,4 +240,5 @@ def seeded_label_propagation(
             converged = True
             break
     sym.unpersist()
+    base.unpersist()
     return LabelPropResult(labels, it, converged, metrics)

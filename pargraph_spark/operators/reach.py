@@ -153,7 +153,14 @@ def harmonic_centrality_kmv(
     cent = (F.col("e1") - F.col("e0")) / F.lit(1.0)
     for t in range(2, max_hops + 1):
         cent = cent + (F.col(f"e{t}") - F.col(f"e{t-1}")) / F.lit(float(t))
-    return out.select("id", cent.alias("cent"))
+    # materialize the V-scale result, then release the max_hops+1 per-hop
+    # sketch tables keep_all left pinned (review r5: a lazy return kept
+    # (T+1)·V·k rows alive for the session — the effective_diameter
+    # release, applied here)
+    res = out.select("id", cent.alias("cent")).localCheckpoint(eager=True)
+    for r in hop_rows:
+        r.unpersist()
+    return res
 
 
 def neighborhood_function(reach: DataFrame) -> DataFrame:

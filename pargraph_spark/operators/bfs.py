@@ -129,7 +129,8 @@ def diameter_2sweep(
         if start_id is None:
             raise ValueError("diameter_2sweep on an empty edge table")
     seeds = spark.createDataFrame([(int(start_id),)], "id long")
-    first = bfs_distances(spark, edges, seeds, max_hops=max_hops)
+    first = bfs_distances(spark, edges, seeds, max_hops=max_hops,
+                          num_partitions=num_partitions)
     far = (
         first.distances.orderBy(F.desc("dist"), F.asc("id")).limit(1).first()
     )
@@ -137,6 +138,7 @@ def diameter_2sweep(
         spark, edges,
         spark.createDataFrame([(int(far["id"]),)], "id long"),
         max_hops=max_hops,
+        num_partitions=num_partitions,
     )
     ecc = second.distances.agg(F.max("dist")).first()[0]
     n = second.distances.count()

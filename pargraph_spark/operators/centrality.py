@@ -90,6 +90,12 @@ def katz_centrality(
                 .join(msgs, "id", "left")
                 .select(
                     "id",
+                    # the coalesce covers "no in-edges" NULLs from the
+                    # left join ONLY. Decimal-sum overflow past 38 digits
+                    # THROWS under ANSI (this repo's default config) —
+                    # never runs far enough to be masked here; a non-ANSI
+                    # session would null-and-mask it, so exact-mode Katz
+                    # requires ANSI on (review r5)
                     (
                         F.lit(D ** t).cast("decimal(38,0)")
                         + F.coalesce(

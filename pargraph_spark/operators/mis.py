@@ -95,22 +95,26 @@ def maximal_independent_set(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("_pv").alias("_nmin"))
         )
-        winners = (
+        # materialize winners FIRST: removed/new_und/new_sym/members all
+        # consume it, and un-materialized it re-ran the priority-min join
+        # once per consumer (~4x the round's dominant cost, review r5)
+        got = (
             pk.join(nbrmin, "id", "left")
             .where(F.col("_nmin").isNull() | (F.col("pk") < F.col("_nmin")))
             .select("id")
+            .localCheckpoint(eager=True)
         )
+        winners = got
         removed = winners.unionByName(
             sym.join(winners.select(F.col("id").alias("u")), "u")
             .select(F.col("v").alias("id"))
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         new_und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
         new_sym = (
             sym.join(removed.select(F.col("id").alias("u")), "u", "left_anti")
             .join(removed.select(F.col("id").alias("v")), "v", "left_anti")
             .localCheckpoint(eager=True)
         )
-        got = winners.localCheckpoint(eager=True)
         members = got if members is None else members.unionByName(got).localCheckpoint(eager=True)
         und.unpersist()
         sym.unpersist()

@@ -66,9 +66,7 @@ def triangle_triples(edges: DataFrame) -> DataFrame:
     return wedges.join(closing, ["x", "y"], "inner").select("s", "x", "y")
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """(id, tri) for every vertex in ≥1 triangle."""
-    tris = triangle_triples(edges)
+def _per_vertex_from_triples(tris: DataFrame) -> DataFrame:
     return (
         tris.select(F.col("s").alias("id"))
         .unionByName(tris.select(F.col("x").alias("id")))
@@ -76,6 +74,11 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count("*").alias("tri"))
     )
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """(id, tri) for every vertex in ≥1 triangle."""
+    return _per_vertex_from_triples(triangle_triples(edges))
 
 
 def triangles_global(edges: DataFrame) -> DataFrame:
@@ -113,13 +116,11 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 def triangle_count(spark: SparkSession, edges: DataFrame) -> TriangleResult:
     tris = triangle_triples(edges).persist()
     total = tris.count()
-    per_vertex = (
-        tris.select(F.col("s").alias("id"))
-        .unionByName(tris.select(F.col("x").alias("id")))
-        .unionByName(tris.select(F.col("y").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("tri"))
-    )
+    # materialize per_vertex so the E^1.5-scale triples cache can be
+    # RELEASED before return (review r5: it leaked for the session) —
+    # and reuse triangles_per_vertex's aggregation instead of a copy
+    per_vertex = _per_vertex_from_triples(tris).localCheckpoint(eager=True)
+    tris.unpersist()
     return TriangleResult(total, per_vertex)
 
 
@@ -213,11 +214,28 @@ def ktruss(
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
             cur.select(F.col("b").alias("u"), F.col("a").alias("w"))
         )
-        dead = (
+        # fan out from each removed edge's LOWER-DEGREE endpoint, not its
+        # min-ID one (review r5): a removed edge on a hub otherwise
+        # enumerates hub-degree wedge candidates — the skew the initial
+        # pass's degree orientation exists to avoid. One degree aggregate
+        # over the (shrinking) round-start graph buys the bound.
+        deg = sym.groupBy("u").agg(F.count("*").alias("_dg"))
+        rem = (
             removed
-            .join(sym.select(F.col("u").alias("a"), "w"), "a")
-            .join(sym.select(F.col("u").alias("b"), "w"), ["b", "w"])
-            .select(F.array_sort(F.array("a", "b", "w")).alias("t"))
+            .join(deg.select(F.col("u").alias("a"), F.col("_dg").alias("_da")), "a")
+            .join(deg.select(F.col("u").alias("b"), F.col("_dg").alias("_db")), "b")
+            .select(
+                F.when(F.col("_da") <= F.col("_db"), F.col("a"))
+                .otherwise(F.col("b")).alias("p"),
+                F.when(F.col("_da") <= F.col("_db"), F.col("b"))
+                .otherwise(F.col("a")).alias("q"),
+            )
+        )
+        dead = (
+            rem
+            .join(sym.select(F.col("u").alias("p"), "w"), "p")
+            .join(sym.select(F.col("u").alias("q"), "w"), ["q", "w"])
+            .select(F.array_sort(F.array("p", "q", "w")).alias("t"))
             .distinct()
         )
         dec = (
@@ -394,12 +412,8 @@ def edge_neighborhood_jaccard(edges: DataFrame) -> DataFrame:
     endpoint), projects each triangle onto its three edges and
     partial-combines the per-edge counts; then one V-scale degree join.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    und = canonical_undirected(edges).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
     )
     tris = triangle_triples(edges)
     pairs = (

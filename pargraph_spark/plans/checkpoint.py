@@ -50,9 +50,14 @@ class CheckpointManager:
             attempt += 1
         path = self._state_path(superstep, attempt)
         df.write.mode("error").parquet(path)
+        # count what actually HIT DISK, not a second evaluation of df
+        # (review r5: re-running the input plan doubled the checkpoint
+        # cost, and its partition ids need not match the written files —
+        # e.g. AQE may coalesce the two jobs differently)
+        written = df.sparkSession.read.parquet(path)
         parts = [
             {"pid": int(r["pid"]), "rows": int(r["rows"])}
-            for r in df.groupBy(F.spark_partition_id().alias("pid"))
+            for r in written.groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count("*").alias("rows"))
             .collect()
         ]
@@ -62,6 +67,16 @@ class CheckpointManager:
             k: (None if isinstance(v, float) and not (v == v and abs(v) != float("inf")) else v)
             for k, v in (extra or {}).items()
         }
+        reserved = {
+            "job", "superstep", "state_path", "num_partitions",
+            "partitions", "rows", "wallclock_ms",
+        }
+        clash = reserved & set(extra)
+        if clash:
+            # **extra spreads LAST: a colliding key would silently
+            # overwrite the real state pointer / row record and corrupt
+            # resume (review r5)
+            raise ValueError(f"extra keys collide with manifest fields: {sorted(clash)}")
         manifest = {
             "job": os.path.basename(self.dir),
             "superstep": superstep,

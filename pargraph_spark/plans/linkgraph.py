@@ -42,7 +42,10 @@ def build_linkgraph(
     if isinstance(pages, str):
         pages = read_pages(spark, pages, fmt=pages_format)
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    extracted = extract_links(latest_pages(pages))
+    # lazy persist: extraction (page dedupe + HTML parse) feeds THREE
+    # consumers (edges, vertices, the exposed .extracted field) and used
+    # to re-run once per consumer (review r5)
+    extracted = extract_links(latest_pages(pages)).persist()
     edges = build_edges(extracted, num_partitions=P).persist()
     vertices = build_vertices(extracted).persist()
     if check_collisions:

@@ -54,9 +54,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("pargraph-spark-cli", cores=args.cores,
                       shuffle_partitions=args.partitions)
+    if args.synth_pages is not None and args.synth_pages < 1:
+        ap.error("--synth-pages must be >= 1")
     pages = (
         generate_pages_spark(spark, args.synth_pages, seed=42)
-        if args.synth_pages
+        if args.synth_pages is not None
         else args.pages
     )
     graph = build_linkgraph(spark, pages, num_partitions=args.partitions,
@@ -334,7 +336,10 @@ def main(argv: list[str] | None = None) -> int:
             .select(F.col("doc_id").alias("did"))
         )
         d2 = d1.join(drop_near, "did", "left_anti")
-        q = d2.where(quality_score(F.col("text")) >= 0.35)
+        # persist: repetition_stats scans its input several times (lines,
+        # grams, token chars, ids) plus the final semi-join — unpersisted
+        # the anti-join/quality chain re-ran ~5x (review r5)
+        q = d2.where(quality_score(F.col("text")) >= 0.35).persist()
         keep_rep = repetition_filter(q, id_col="did", text_col="text")
         curated = (
             q.join(keep_rep.withColumnRenamed("id", "did"), "did", "left_semi")
@@ -352,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
         }
         curated.unpersist()
+        q.unpersist()
         d1.unpersist()
         docs.unpersist()
     if args.job == "effdiam":

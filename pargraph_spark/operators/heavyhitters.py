@@ -50,7 +50,10 @@ def frequent_items(
         dec = 0
         for pdf in batches:
             for it in pdf["item"]:
-                if it is None:
+                # NaN guard: Arrow delivers NULLs of numeric item types as
+                # float NaN, and NaN != NaN would mint a FRESH dict key
+                # per null, flooding the k counters (review r5)
+                if it is None or it != it:
                     continue
                 if it in counters:
                     counters[it] += 1

@@ -130,7 +130,18 @@ def repetition_stats(
             F.when(
                 (F.coalesce("_tchars", F.lit(0)) > 0)
                 & F.col("_tc").isNotNull(),
-                (F.col("_tc") * F.length("top_ngram")) / F.col("_tchars"),
+                # token chars only: the concat_ws separators are not
+                # document characters (with them, 'ab cd' x3 over 12
+                # token chars scored 1.25 — review r5); overlapping
+                # occurrences can still double-count shared tokens, so
+                # clamp at 1 (the standard impl shortcut, documented)
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.col("_tc")
+                        * (F.length("top_ngram") - F.lit(ngram - 1))
+                    ) / F.col("_tchars"),
+                ),
             ).otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
         )
     )

@@ -26,9 +26,16 @@ from pyspark.sql import functions as F
 
 def fraction_threshold_hex(fraction: float) -> str:
     """Hex threshold t such that P[substr(md5,1,8) < t] == fraction (to
-    2^-32): first 8 hex chars of md5 are uniform over [0, 16^8)."""
+    2^-32): first 8 hex chars of md5 are uniform over [0, 16^8).
+
+    fraction >= 1.0 returns 'g' — every 8-hex-digit string sorts below
+    it, so a 100% sample really keeps EVERY row (review r5: the old
+    16^8-1 clamp with a strict < deterministically dropped the ~1-in-2^32
+    keys hashing to exactly 'ffffffff' from a supposedly-whole pass)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * 16 ** 8), 16 ** 8 - 1), "08x")
 
 
@@ -103,6 +110,9 @@ def neighbor_sample(
     """
     from pyspark.sql import Window
 
+    if not fanouts:
+        # an empty fanout list would return None, not a DataFrame
+        raise ValueError("fanouts must be non-empty")
     frontier = seeds.select("id").distinct()
     out: DataFrame | None = None
     for hop, fan in enumerate(fanouts):
@@ -309,11 +319,25 @@ def node2vec_walks(
             )
         )
         out = out.unionByName(nxt)
-        # carry the new prev for the next step's bias classification
-        cur = nxt.join(
-            cur.select("seed_id", "walk", F.col("vertex").alias("_pv")),
-            ["seed_id", "walk"],
-        ).select("seed_id", "walk", "step", "vertex", F.col("_pv").alias("prev"))
+        # carry the new prev for the next step's bias classification.
+        # cur feeds TWO consumers per step (cand and this carry join), so
+        # without an eager checkpoint the plan doubles every step and the
+        # driver OOMs analyzing it near length ~30 (the wl.py/betweenness
+        # class; review r5) — walk-scale state, cheap to materialize
+        cur = (
+            nxt.join(
+                cur.select("seed_id", "walk", F.col("vertex").alias("_pv")),
+                ["seed_id", "walk"],
+            )
+            .select("seed_id", "walk", "step", "vertex",
+                    F.col("_pv").alias("prev"))
+            .localCheckpoint(eager=True)
+        )
+    # materialize the corpus, then release the two E-scale edge copies
+    # (review r5: they stayed pinned for the session behind a lazy result)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    e_pairs.unpersist()
     return out
 
 
@@ -418,11 +442,14 @@ def negative_samples(
     # capped table: the cumsum window is over <= max_vocab rows (model-
     # sized by contract), so the single-partition window is safe
     w = Window.orderBy("vertex").rowsBetween(Window.unboundedPreceding, 0)
+    # model-sized after the cap: materialize once — the corpus-scale
+    # sort-limit feeding it otherwise executed twice (the W/V collect and
+    # the broadcast bucket build; review r5)
     cum = top.select(
         "vertex", "cnt",
         (F.sum("cnt").over(w) - F.col("cnt")).alias("lo"),
         F.sum("cnt").over(w).alias("hi"),
-    )
+    ).localCheckpoint(eager=True)
     row = cum.groupBy().agg(
         F.max("hi").alias("W"), F.count("*").alias("V")
     ).collect()[0]

@@ -117,8 +117,12 @@ def read_pages_table(
 def latest_pages(pages: DataFrame) -> DataFrame:
     """One row per url: the latest crawl by warc_ts.
 
-    Single wide shuffle on url; ties broken by the larger html payload so the
-    result is deterministic even if two crawl rows share a timestamp.
+    Single wide shuffle on url; ties broken by the LEXICOGRAPHICALLY
+    greatest html bytes (struct max compares html as binary, NOT by
+    payload size — review r5 doc fix), then text, then lang: any fixed
+    total order makes the result deterministic when two crawl rows share
+    a timestamp, and byte order is the one the struct-max plan gives for
+    free.
     """
     payload = F.struct("warc_ts", "html", "text", "lang")
     return (

@@ -29,7 +29,11 @@ def _py_stats(text, ngram=2):
     tchars = sum(len(t) for t in toks)
     if gc:
         top = min((g for g, c in gc.items() if c == max(gc.values())))
-        tfrac = gc[top] * len(top) / tchars if tchars else 0.0
+        # token chars only (no separator spaces), clamped at 1
+        tfrac = (
+            min(1.0, gc[top] * (len(top) - (ngram - 1)) / tchars)
+            if tchars else 0.0
+        )
     else:
         top, tfrac = None, 0.0
     return {

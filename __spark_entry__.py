@@ -2048,10 +2048,14 @@ def _assortativity_sql() -> str:
         "SUM(CAST(du AS HUGEINT) * du) AS sxx, "
         "SUM(CAST(dv AS HUGEINT) * dv) AS syy FROM j) "
         "SELECT CAST(m AS BIGINT) AS n_edges_directed, "
+        # zero-variance guard mirrors the Spark when(den > 0, ...) — NULL
+        # rq on regular graphs, never floor(NaN)
+        "CASE WHEN (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0 THEN "
         f"FLOOR(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
         "/ (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
         "* sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) "
-        f"* {_G30}) / {_G30} AS rq FROM agg"
+        f"* {_G30}) / {_G30} ELSE NULL END AS rq FROM agg"
     )
 
 

@@ -39,7 +39,7 @@ from pargraph_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     shuffle = max(8, 2 * cpus)
     spark = get_spark("pargraph-bench", cores=cpus, shuffle_partitions=shuffle,
@@ -114,10 +114,11 @@ def main() -> None:
         # instead of recording a fake 0.6s edge_build.
         df = entrymod._co_edges(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" not in plan, (
-            "edge_build trial plan substituted the persisted cache; "
-            "the redundant-Filter dodge no longer de-duplicates plans"
-        )
+        if "InMemoryTableScan" in plan:  # not assert: -O strips asserts
+            raise RuntimeError(
+                "edge_build trial plan substituted the persisted cache; "
+                "the redundant-Filter dodge no longer de-duplicates plans"
+            )
         df.count()
 
     ops = [

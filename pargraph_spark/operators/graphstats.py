@@ -80,9 +80,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     num = m * sxy - sx * sy
     den = F.sqrt(m * sxx - sx * sx) * F.sqrt(m * syy - sy * sy)
+    # zero degree variance (regular graphs): r is undefined — NULL, not
+    # the silent 0.0 that floor(NaN) used to produce (review r5; the
+    # oracle SQL carries the identical CASE guard)
     return agg.select(
         F.col("m").alias("n_edges_directed"),
-        _q30(num / den).alias("rq"),
+        F.when(den > 0, _q30(num / den)).alias("rq"),
     )
 
 

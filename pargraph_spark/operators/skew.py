@@ -47,6 +47,10 @@ def with_salt(df: DataFrame, num_salts: int, salt_col: str = "_salt") -> DataFra
     floating-point values even a stable grouping leaves within-partition
     accumulation order unpinned, so double sums are deterministic only to
     ~1 ulp × log(n) — documented, not promised (ADVICE r1)."""
+    if salt_col in df.columns:
+        # withColumn would silently REPLACE the caller's column and
+        # corrupt downstream group keys (review r5)
+        raise ValueError(f"input already has a {salt_col!r} column")
     return df.withColumn(
         salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).cast("int")
     )
@@ -60,6 +64,8 @@ def salted_sum(
     alias: str = "sum",
 ) -> DataFrame:
     """Two-level Σ value GROUP BY key_cols with bounded per-task fan-in."""
+    if "_v" in df.columns:
+        raise ValueError("input already has a '_v' column")
     stage1 = (
         with_salt(df.withColumn("_v", value), num_salts)
         .groupBy(*key_cols, "_salt")

@@ -60,7 +60,10 @@ def _zipf(rng: random.Random, a: float, n: int) -> int:
     Generation 1986, ch. X.6) — O(1) expected, no O(n) CDF table."""
     b = 2.0 ** (a - 1.0)
     while True:
-        u = rng.random()
+        # clamp: u == 0.0 (p = 2^-53/draw) raises on the negative power
+        # and u < ~1e-93 overflows to inf; the clamp changes no draw a
+        # real stream produces, so existing fixtures are bit-identical
+        u = max(rng.random(), 1e-12)
         v = rng.random()
         x = int(u ** (-1.0 / (a - 1.0)))
         if x < 1 or x > n:
@@ -83,8 +86,14 @@ def _page_html(i: int, url: str, num_sites: int, rng: random.Random,
                 t = n_pages + rng.randrange(max(1, n_pages))
                 href = url_for(t, num_sites)
             elif r < 0.21:
-                # relative href on the same site (resolution test)
-                k2 = rng.randrange(max(1, (n_pages + num_sites - 1) // num_sites))
+                # relative href on the same site (resolution test) —
+                # bounded to pages that EXIST on this page's site, so the
+                # resolution-test category never silently leaks into
+                # dangling links when num_sites does not divide n_pages
+                # (review r5)
+                s = i % num_sites
+                k_max = (n_pages - 1 - s) // num_sites
+                k2 = rng.randrange(max(1, k_max + 1))
                 href = f"/p/{k2}" if rng.random() < 0.5 else f"../p/{k2}"
             else:
                 t = _zipf(rng, 1.3, n_pages) - 1  # hub skew toward low ids

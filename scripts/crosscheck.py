@@ -73,6 +73,13 @@ def main() -> int:
                       extra_conf={"spark.ui.enabled": "false"})
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            # a typo'd name must not produce a false-green "FAILED: none"
+            # gate run that executed nothing (review r5)
+            print(f"FAILED: unknown query names {unknown}")
+            sys.exit(2)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -88,7 +95,10 @@ def main() -> int:
         t0 = time.monotonic()
         ddf = con.sql(oracles[name]).df()
         t_duck = time.monotonic() - t0
-        problems = compare(name, sdf, ddf)
+        try:
+            problems = compare(name, sdf, ddf)
+        except Exception as e:  # a compare crash is a FAIL, not a gate abort
+            problems = [f"compare crashed: {type(e).__name__}: {e}"]
         status = "OK " if not problems else "FAIL"
         print(f"{name:24s} {status} rows={len(sdf)} ({t_spark:.1f}s spark, {t_duck:.1f}s duck)")
         for p in problems:

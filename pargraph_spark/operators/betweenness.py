@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics
 
 GRID = float(1 << 30)  # 2^-30 binary grid (hits.py policy)
@@ -103,7 +104,11 @@ def betweenness(
         .repartition(P, "id")
         .persist()
     )
-    srcs = (sources.select("id") if sources is not None else verts)
+    # duplicate seed ids would silently double sigma and every delta
+    # contribution (ADVICE r5) — dedup here instead of documenting a
+    # uniqueness precondition (all in-repo callers already pass distinct
+    # sets, so results are unchanged)
+    srcs = (sources.select("id").distinct() if sources is not None else verts)
 
     # ---- forward: level-synchronous multi-source BFS with path counts ----
     # Frontier/visited state is (source, vertex)-scale; each level is
@@ -121,6 +126,7 @@ def betweenness(
         cur.select("s", "v").repartition(P, "s", "v").localCheckpoint(eager=True)
     )
     levels: list[DataFrame] = [cur]
+    dead_frontiers: list[DataFrame] = []  # empty nxt checkpoints, released at end
     for _d in range(1, max_depth + 1):
         prev = levels[-1]
         msg = (
@@ -131,15 +137,21 @@ def betweenness(
         nxt = (
             msg.join(visited, ["s", "v"], "left_anti")
             .repartition(P, "v")
-            .localCheckpoint(eager=True)
         )
+        dump_plan(nxt, "betweenness_forward_level")
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.count() == 0:
+            dead_frontiers.append(nxt)
             break
+        old_visited = visited
         visited = (
             visited.unionByName(nxt.select("s", "v"))
             .repartition(P, "s", "v")
             .localCheckpoint(eager=True)
         )
+        # only the latest visited union is ever probed again — release the
+        # superseded (|S|·V)-scale copy immediately (ADVICE r5 leak class)
+        old_visited.unpersist()
         levels.append(nxt)
 
     # ---- backward: dependency accumulation, deepest level first ----
@@ -165,14 +177,15 @@ def betweenness(
                 ).alias("_delta")
             )
         )
-        deltas[d] = (
+        dd = (
             lv.join(contrib, ["s", "v"], "left")
             .select(
                 "s", "v", "sigma",
                 F.coalesce(F.col("_delta"), F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
         )
+        dump_plan(dd, "betweenness_backward_level")
+        deltas[d] = dd.localCheckpoint(eager=True)
 
     if len(levels) > 1:
         all_d = deltas[1]
@@ -186,6 +199,19 @@ def betweenness(
         .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
     )
     scores = scores.localCheckpoint(eager=True)
+    # scores is materialized and independent — release EVERY iteration
+    # cache: forward levels, backward deltas, the final visited union and
+    # any empty terminal frontier ((|S|·V)-scale each, ~3(h+1) tables; the
+    # ADVICE r5 leak — they pinned block-manager memory for the session
+    # and pressured every subsequent job in the app)
     e.unpersist()
     verts.unpersist()
+    visited.unpersist()
+    for df in levels:
+        df.unpersist()
+    for df in deltas:
+        if df is not None:
+            df.unpersist()
+    for df in dead_frontiers:
+        df.unpersist()
     return BetweennessResult(scores, max_depth, n_sources)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.plans.checkpoint import CheckpointManager
+from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -150,7 +151,9 @@ def connected_components(
     n_edges0 = sig[0]
     for rounds in range(start_round + 1, max_rounds + 1):
         t0 = time.monotonic()
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = _small_star(_large_star(e))
+        dump_plan(new_e, "cc_round")
+        new_e = new_e.localCheckpoint(eager=True)
         new_sig = _signature(new_e)
         e.unpersist()
         e = new_e

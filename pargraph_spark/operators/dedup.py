@@ -290,7 +290,13 @@ def minhash_dedup_pairs(
         lsh_bands(minhash_signatures(sh, num_hashes), num_hashes, num_bands),
         max_postings=max_postings,
     )
-    return jaccard_verify(cands, sh, threshold)
+    # materialize the (small) verified-pair result so the E-scale shingle
+    # cache can be RELEASED before return instead of pinning the session
+    # (the triangle_count r5 release pattern); rows are identical — only
+    # the cache lifecycle changes
+    out = jaccard_verify(cands, sh, threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def tfidf_cosine_pairs(

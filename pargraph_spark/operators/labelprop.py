@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.plans.checkpoint import CheckpointManager
+from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -126,8 +127,9 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
+        dump_plan(new_labels, "labelprop_superstep")
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
         old = labels
         labels = new_labels.drop("_chg")

@@ -66,6 +66,7 @@ def maximal_matching(
         .localCheckpoint(eager=True)
     )
     matches: DataFrame | None = None
+    new_ms: list[DataFrame] = []  # per-round checkpoints, released at end
     metrics = JobMetrics("matching")
     rounds, converged = 0, False
     for r in range(1, max_rounds + 1):
@@ -120,6 +121,11 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
         matches = new_m if matches is None else matches.unionByName(new_m)
+        new_ms.append(new_m)
+        # the superseded E-scale active checkpoint is never probed again —
+        # release it now (ADVICE r5: a max_rounds=50 run otherwise pinned
+        # up to ~100 cached tables for the session; the mis.py/kcore idiom)
+        active.unpersist()
         active = new_active
         rounds = r
         # engine convention (metrics.py): edges = rows processed this
@@ -129,8 +135,13 @@ def maximal_matching(
                                     n_act, float(n_new)))
     if matches is None:
         matches = spark.createDataFrame([], "u long, v long")
-    return MatchingResult(matches.localCheckpoint(eager=True), rounds, converged,
-                          metrics)
+    out = matches.localCheckpoint(eager=True)
+    # the final checkpoint copied every per-round new_m — release them and
+    # the last (possibly empty) active table (ADVICE r5)
+    active.unpersist()
+    for df in new_ms:
+        df.unpersist()
+    return MatchingResult(out, rounds, converged, metrics)
 
 
 def coarsen_graph(edges: DataFrame, matches: DataFrame) -> DataFrame:

@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.operators.csr import spmv_from_store, with_pid, write_csr_store
+from pargraph_spark.session import no_aqe
+from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -175,9 +177,15 @@ def pagerank(
 
     def _with_teleport(df: DataFrame) -> DataFrame:
         """Attach the teleport weight column _tw (pure function of the
-        teleport arg — identical on fresh runs and resumes)."""
+        teleport arg — identical on fresh runs and resumes). With
+        teleport=None the weight is the CONSTANT 1/N — carried as the
+        `tw` literal expression instead of a materialized column, so the
+        classic-PageRank iteration state is one double narrower through
+        every exchange and checkpoint (guide §2.3, narrower shuffle rows;
+        r6). The produced ranks are bit-identical: the same 1/N double
+        participates in the same expressions."""
         if teleport is None:
-            return df.withColumn("_tw", F.lit(1.0 / n))
+            return df
         t = teleport.select(F.col("id"), F.col("w").cast("double").alias("_w"))
         # Normalize over teleport ids PRESENT IN THE GRAPH only: weights on
         # unknown ids would otherwise shrink ΣT below 1 and leak rank mass
@@ -222,6 +230,11 @@ def pagerank(
             store_dir = tempfile.mkdtemp(prefix="pargraph_csr_")
         write_csr_store(edges, P, store_dir)
 
+    # teleport weight as an expression: a literal for classic PageRank
+    # (state stays narrow), the materialized _tw column for personalized
+    tw = F.lit(1.0 / n) if teleport is None else F.col("_tw")
+    state_cols = ["id", "outdeg"] + (["_tw"] if teleport is not None else [])
+
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
     start_iter = 0
     ranks = None
@@ -241,7 +254,7 @@ def pagerank(
             ws = warm_start.select("id", F.col("rank").cast("double").alias("_ws"))
             init = (
                 init.join(ws, "id", "left")
-                .withColumn("_r0", F.coalesce(F.col("_ws"), F.col("_tw")))
+                .withColumn("_r0", F.coalesce(F.col("_ws"), tw))
                 .drop("_ws")
             )
             tot = init.agg(F.sum("_r0").alias("_tot"))
@@ -251,13 +264,23 @@ def pagerank(
                 .drop("_r0", "_tot")
             )
         else:
-            init = init.withColumn("rank", F.col("_tw"))
+            init = init.withColumn("rank", tw)
         ranks = init.withColumn("_prev", F.lit(float("nan")))
-    if "_tw" not in ranks.columns:  # resumed from a pre-teleport checkpoint
+    if teleport is not None and "_tw" not in ranks.columns:
+        # resumed from a pre-teleport checkpoint
         ranks = _with_teleport(ranks)
     if "_prev" not in ranks.columns:
         ranks = ranks.withColumn("_prev", F.lit(float("nan")))
-    ranks = ranks.localCheckpoint(eager=True)
+    # a resumed/old checkpoint may carry extra columns (e.g. _tw on a
+    # classic run) — normalize to the declared state schema
+    ranks = ranks.select(*state_cols, "rank", "_prev")
+    # r6: the whole iteration runs with AQE disabled (see session.no_aqe)
+    # so every per-superstep localCheckpoint RECORDS its hash(id, P)
+    # partitioning — the next superstep's joins then probe the state in
+    # place and the measured plan drops from 3 Exchanges per superstep
+    # (ranks re-exchanged twice, V-scale each) to 1 (the message
+    # aggregation — the only shuffle PageRank fundamentally needs,
+    # guide §2.4).
 
     metrics = JobMetrics(f"pagerank[{mode}]")
     deltas: list[float] = []
@@ -267,78 +290,98 @@ def pagerank(
     def _spmv(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return spmv_from_store(store_dir, int(key[0]), pdf)
 
-    while it < max_iter:
-        it += 1
-        t0 = time.monotonic()
-        if mode == "dataframe":
-            contrib = (
-                F.col("_rw") * edges["w"] if weight_col is not None else F.col("_rw")
-            )
-            msgs = (
-                edges.join(
-                    ranks.where(F.col("outdeg") > 0).select(
-                        F.col("id"), (F.col("rank") / F.col("outdeg")).alias("_rw")
-                    ),
-                    edges["src"] == F.col("id"),
-                )
-                .groupBy("dst")
-                .agg(F.sum(contrib).alias("msg"))
-            )
-        else:
-            rank_g = with_pid(ranks.select("id", "rank"), "id", P)
-            msgs = (
-                rank_g.groupBy("pid")
-                .applyInPandas(_spmv, schema=MSG_SCHEMA)
-                .groupBy("dst")
-                .agg(F.sum("msg").alias("msg"))
-            )
-        # dangling mass enters the plan as a broadcast 1-row aggregate
-        # (crossJoin) instead of a driver collect: ONE job per superstep.
-        dang_df = ranks.agg(
+    def _delta_dang(df: DataFrame) -> tuple[float, float]:
+        """ONE V-scan producing (L∞ delta of this superstep, dangling mass
+        for the next) — the combined aggregate the module docstring
+        promises. r6: the dangling mass used to enter each superstep as a
+        broadcast 1-row subquery (its own job + broadcast exchange) and
+        the delta as a second scan job; fusing them halves the per-
+        superstep scan jobs. The scalar crosses the driver (the
+        documented scalar-aggregate exception) and re-enters the next
+        plan as a literal — the identical IEEE-64 value the broadcast
+        column carried, so ranks are bit-identical."""
+        row = df.agg(
+            F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("_delta"),
             F.coalesce(
                 F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))), F.lit(0.0)
-            ).alias("_dang")
-        )
-        new_ranks = (
-            ranks.join(msgs, ranks["id"] == msgs["dst"], "left")
-            .crossJoin(F.broadcast(dang_df))
-            .select(
-                ranks["id"],
-                ranks["outdeg"],
-                ranks["_tw"],
-                (
-                    F.lit(1.0 - damping) * ranks["_tw"]
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("msg"), F.lit(0.0))
-                        + F.col("_dang") * ranks["_tw"]
-                    )
-                ).alias("rank"),
-                ranks["rank"].alias("_prev"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        old = ranks
-        ranks = new_ranks
-        old.unpersist()
-        wall_ms = (time.monotonic() - t0) * 1000.0
+            ).alias("_dang"),
+        ).first()
+        d = row["_delta"]
+        return (float("nan") if d is None else float(d)), float(row["_dang"])
 
-        delta = float("nan")
-        if it % check_every == 0 or it >= max_iter:
-            delta = float(
-                ranks.agg(F.max(F.abs(F.col("rank") - F.col("_prev")))).first()[0]
+    with no_aqe(spark):
+        # initial state materialization under no-AQE records hash(id, P)
+        ranks = ranks.repartition(P, "id").localCheckpoint(eager=True)
+
+        _, dang = _delta_dang(ranks)
+
+        while it < max_iter:
+            it += 1
+            t0 = time.monotonic()
+            if mode == "dataframe":
+                contrib = (
+                    F.col("_rw") * edges["w"] if weight_col is not None else F.col("_rw")
+                )
+                # shuffle_hash: the build side is the V-scale rank projection
+                # (V/P rows per task — bounded like any hash-agg state); SMJ
+                # would re-SORT the persisted E-scale edge table every
+                # superstep (guide §3.1: pick the strategy deliberately)
+                msgs = (
+                    edges.join(
+                        ranks.where(F.col("outdeg") > 0).select(
+                            F.col("id"), (F.col("rank") / F.col("outdeg")).alias("_rw")
+                        ).hint("shuffle_hash"),
+                        edges["src"] == F.col("id"),
+                    )
+                    .groupBy("dst")
+                    .agg(F.sum(contrib).alias("msg"))
+                )
+            else:
+                rank_g = with_pid(ranks.select("id", "rank"), "id", P)
+                msgs = (
+                    rank_g.groupBy("pid")
+                    .applyInPandas(_spmv, schema=MSG_SCHEMA)
+                    .groupBy("dst")
+                    .agg(F.sum("msg").alias("msg"))
+                )
+            new_ranks = (
+                ranks.join(msgs.hint("shuffle_hash"),
+                           ranks["id"] == msgs["dst"], "left")
+                .select(
+                    *[ranks[c] for c in state_cols],
+                    (
+                        F.lit(1.0 - damping) * tw
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("msg"), F.lit(0.0))
+                            + F.lit(dang) * tw
+                        )
+                    ).alias("rank"),
+                    ranks["rank"].alias("_prev"),
+                )
             )
-            deltas.append(delta)
-        metrics.add(SuperstepMetric(it, wall_ms, n_edges, delta))
-        if ckpt and (it % checkpoint_every == 0):
-            # unmeasured deltas (check_every > 1) are NaN — json.dump would
-            # emit non-standard `NaN` that strict parsers reject (ADVICE r2)
-            ckpt.save(ranks, it, {"delta": None if delta != delta else delta,
-                                  "damping": damping,
-                                  "n_vertices": n, "n_edges": n_edges})
-        if delta == delta and delta < tol:  # NaN-safe
-            converged = True
-            break
+            dump_plan(new_ranks, "pagerank_superstep")
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            old = ranks
+            ranks = new_ranks
+            old.unpersist()
+            wall_ms = (time.monotonic() - t0) * 1000.0
+
+            step_delta, dang = _delta_dang(ranks)
+            delta = float("nan")
+            if it % check_every == 0 or it >= max_iter:
+                delta = step_delta
+                deltas.append(delta)
+            metrics.add(SuperstepMetric(it, wall_ms, n_edges, delta))
+            if ckpt and (it % checkpoint_every == 0):
+                # unmeasured deltas (check_every > 1) are NaN — json.dump would
+                # emit non-standard `NaN` that strict parsers reject (ADVICE r2)
+                ckpt.save(ranks, it, {"delta": None if delta != delta else delta,
+                                      "damping": damping,
+                                      "n_vertices": n, "n_edges": n_edges})
+            if delta == delta and delta < tol:  # NaN-safe
+                converged = True
+                break
 
     # Skip the converged save when this superstep was already committed by
     # the periodic save above (attempt-versioned saves are safe either way,

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.operators.edges import symmetrize
+from pargraph_spark.plans.debug import dump_plan
 
 _HEX_BITS = 60  # 15 hex chars of md5 — fits BIGINT exactly in both engines
 
@@ -73,6 +74,7 @@ def _propagate(spark, edges, hops: int, k: int, P: int,
             .repartition(P, "v")
         )
         old = rows
+        dump_plan(merged, "kmv_reach_hop")
         rows = merged.localCheckpoint(eager=True)
         if not keep_all:
             old.unpersist()

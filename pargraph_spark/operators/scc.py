@@ -54,6 +54,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -121,8 +122,9 @@ def strongly_connected_components(
                 verts.join(has_out, "id", "left_semi")
                 .join(has_in, "id", "left_semi")
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
             )
+            dump_plan(keep, "scc_trim_round")
+            keep = keep.localCheckpoint(eager=True)
             n_keep = keep.count()
             n_trim = n_verts - n_keep
             if n_trim == 0:
@@ -179,8 +181,9 @@ def strongly_connected_components(
                     (F.coalesce("_mc", "color") < F.col("color")).alias("_chg"),
                 )
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
             )
+            dump_plan(new_colors, "scc_color_round")
+            new_colors = new_colors.localCheckpoint(eager=True)
             frontier = new_colors.where("_chg").select("id", "color")
             changed = frontier.count()
             colors = new_colors.drop("_chg")
@@ -230,8 +233,9 @@ def strongly_connected_components(
                     (~F.col("in_scc") & F.col("_c").isNotNull()).alias("_chg"),
                 )
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
             )
+            dump_plan(new_state, "scc_sweep_round")
+            new_state = new_state.localCheckpoint(eager=True)
             frontier = new_state.where("_chg").select("id", "color")
             changed = frontier.count()
             state = new_state.drop("_chg")
@@ -307,6 +311,7 @@ def _closure_from(
     partitioned on src_col so the frontier join probes it in place."""
     visited = seed.select("id").localCheckpoint(eager=True)
     frontier = visited
+    retired: list[DataFrame] = []  # superseded V-scale checkpoints
     done = False
     for _ in range(max_inner):
         nxt = (
@@ -318,11 +323,14 @@ def _closure_from(
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
+            retired.append(nxt)
             done = True
             break
+        retired.append(visited)
         visited = visited.unionByName(nxt).repartition(P, "id").localCheckpoint(
             eager=True
         )
+        retired.append(nxt)
         frontier = nxt
     if not done:
         # an unfinished closure silently mislabels bowtie regions — fail
@@ -331,7 +339,18 @@ def _closure_from(
             f"closure did not terminate within max_inner={max_inner} "
             f"BFS rounds — raise max_inner"
         )
-    return visited.join(seed.select("id"), "id", "left_anti")
+    # return ONE materialized table and release every per-hop checkpoint
+    # (ADVICE r5: 4 closures × rounds × V-scale tables leaked otherwise);
+    # the result must be materialized BEFORE the final visited is dropped —
+    # a lazy anti-join over an unpersisted LogicalRDD is unrecoverable
+    out = (
+        visited.join(seed.select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    retired.append(visited)
+    for df in retired:
+        df.unpersist()
+    return out
 
 
 def bowtie_classify(
@@ -366,6 +385,8 @@ def bowtie_classify(
     sizes = scc.groupBy("scc").count()
     core_row = sizes.orderBy(F.desc("count"), F.asc("scc")).first()
     if core_row is None:
+        # empty graph: release the persist the normal path would (ADVICE r5)
+        scc.unpersist()
         return spark.createDataFrame([], "id long, region string")
     core_id = int(core_row["scc"])
     core = scc.where(F.col("scc") == F.lit(core_id)).select("id").persist()
@@ -375,8 +396,10 @@ def bowtie_classify(
     e_src.count()
     e_dst.count()
 
-    out_set = _closure_from(core, e_src, "src", "dst", P, max_inner).persist()
-    in_set = _closure_from(core, e_dst, "dst", "src", P, max_inner).persist()
+    # _closure_from returns materialized localCheckpoint tables — no extra
+    # persist needed (it would only duplicate the blocks)
+    out_set = _closure_from(core, e_src, "src", "dst", P, max_inner)
+    in_set = _closure_from(core, e_dst, "dst", "src", P, max_inner)
 
     fwd_from_in = _closure_from(in_set, e_src, "src", "dst", P, max_inner)
     bwd_from_out = _closure_from(out_set, e_dst, "dst", "src", P, max_inner)
@@ -412,7 +435,8 @@ def bowtie_classify(
         # E-scale copies + five V-scale sets pinned for the app lifetime)
         .localCheckpoint(eager=True)
     )
-    for cached in (scc, core, e_src, e_dst, out_set, in_set, tubes):
+    for cached in (scc, core, e_src, e_dst, out_set, in_set,
+                   fwd_from_in, bwd_from_out, tubes):
         cached.unpersist()
     return out
 

@@ -9,8 +9,36 @@ culling, fusion) is Catalyst's job.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Disable adaptive query execution for a superstep loop, restoring
+    the previous setting on exit.
+
+    Why (r6, guide §2.4 — remove shuffles outright): ``localCheckpoint``
+    records the materialized plan's outputPartitioning into its
+    LogicalRDD, so a checkpointed state table partitioned on its key is
+    probed IN PLACE by the next superstep's co-partitioned joins and
+    aggregations. Under AQE the physical plan is an AdaptiveSparkPlan
+    whose partitioning is reported as Unknown at checkpoint time, and
+    every superstep silently re-exchanges the full state (measured: 2
+    extra V-scale Exchanges per PageRank superstep, the same for every
+    other fixpoint operator). Inside a superstep the plans are small and
+    fixed-shape — partition counts are pinned to P by the operator, hub
+    skew is absorbed by partial (map-side) aggregation — so AQE's runtime
+    re-planning buys nothing there; it stays on for everything outside
+    the loops (scans, one-shot queries, candidate joins)."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def default_cores() -> int:

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics
+from pargraph_spark.session import no_aqe, size_based_partitions
 
 GRID = float(1 << 30)  # 2^-30 binary grid (hits.py policy)
 
@@ -83,6 +84,7 @@ def betweenness(
     if max_depth < 1:
         raise ValueError(f"betweenness requires max_depth >= 1, got {max_depth}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     e0 = (
         edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     )
@@ -117,88 +119,91 @@ def betweenness(
     # exponentially — observed as a driver OOM merely STRINGIFYING the
     # plan at depth 4). e keeps its src partitioning; the checkpointed
     # frontier re-shuffles at its own (small) scale per level.
-    cur = srcs.select(
-        F.col("id").alias("s"), F.col("id").alias("v"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).repartition(P, "v").localCheckpoint(eager=True)
-    n_sources = cur.count()
-    visited = (
-        cur.select("s", "v").repartition(P, "s", "v").localCheckpoint(eager=True)
-    )
-    levels: list[DataFrame] = [cur]
-    dead_frontiers: list[DataFrame] = []  # empty nxt checkpoints, released at end
-    for _d in range(1, max_depth + 1):
-        prev = levels[-1]
-        msg = (
-            e.join(prev, e["src"] == prev["v"])
-            .groupBy(prev["s"].alias("s"), e["dst"].alias("v"))
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        nxt = (
-            msg.join(visited, ["s", "v"], "left_anti")
-            .repartition(P, "v")
-        )
-        dump_plan(nxt, "betweenness_forward_level")
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.count() == 0:
-            dead_frontiers.append(nxt)
-            break
-        old_visited = visited
+    with no_aqe(spark, P):
+        cur = srcs.select(
+            F.col("id").alias("s"), F.col("id").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        ).repartition(P, "v").localCheckpoint(eager=True)
+        n_sources = cur.count()
         visited = (
-            visited.unionByName(nxt.select("s", "v"))
-            .repartition(P, "s", "v")
-            .localCheckpoint(eager=True)
+            cur.select("s", "v").repartition(P, "s", "v").localCheckpoint(eager=True)
         )
-        # only the latest visited union is ever probed again — release the
-        # superseded (|S|·V)-scale copy immediately (ADVICE r5 leak class)
-        old_visited.unpersist()
-        levels.append(nxt)
-
-    # ---- backward: dependency accumulation, deepest level first ----
-    # delta[d] carries (s, v, sigma, delta); the deepest level has δ = 0.
-    deltas: list[DataFrame | None] = [None] * len(levels)
-    deltas[-1] = levels[-1].withColumn("delta", F.lit(0.0))
-    for d in range(len(levels) - 2, 0, -1):
-        nx = deltas[d + 1].select(
-            F.col("s").alias("_s"), F.col("v").alias("_w"),
-            F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
-        )
-        lv = levels[d]
-        contrib = (
-            e.join(lv, e["src"] == lv["v"])
-            .join(nx, (lv["s"] == nx["_s"]) & (e["dst"] == nx["_w"]))
-            .groupBy(lv["s"].alias("s"), lv["v"].alias("v"))
-            .agg(
-                F.sum(
-                    _quant(
-                        (F.col("sigma").cast("double") / F.col("_sw").cast("double"))
-                        * (F.lit(1.0) + F.col("_dw"))
-                    )
-                ).alias("_delta")
+        levels: list[DataFrame] = [cur]
+        dead_frontiers: list[DataFrame] = []  # empty nxt checkpoints, released at end
+        for _d in range(1, max_depth + 1):
+            prev = levels[-1]
+            msg = (
+                e.join(prev.hint("shuffle_hash"), e["src"] == prev["v"])
+                .groupBy(prev["s"].alias("s"), e["dst"].alias("v"))
+                .agg(F.sum("sigma").alias("sigma"))
             )
-        )
-        dd = (
-            lv.join(contrib, ["s", "v"], "left")
-            .select(
-                "s", "v", "sigma",
-                F.coalesce(F.col("_delta"), F.lit(0.0)).alias("delta"),
+            # msg (aggregate output) and visited (checkpointed) are both
+            # hash(s, v, P): the anti-join needs no exchange under no_aqe
+            nxt = (
+                msg.join(visited.hint("shuffle_hash"), ["s", "v"], "left_anti")
+                .repartition(P, "v")
             )
-        )
-        dump_plan(dd, "betweenness_backward_level")
-        deltas[d] = dd.localCheckpoint(eager=True)
+            dump_plan(nxt, "betweenness_forward_level")
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.count() == 0:
+                dead_frontiers.append(nxt)
+                break
+            old_visited = visited
+            visited = (
+                visited.unionByName(nxt.select("s", "v"))
+                .repartition(P, "s", "v")
+                .localCheckpoint(eager=True)
+            )
+            # only the latest visited union is ever probed again — release the
+            # superseded (|S|·V)-scale copy immediately (ADVICE r5 leak class)
+            old_visited.unpersist()
+            levels.append(nxt)
 
-    if len(levels) > 1:
-        all_d = deltas[1]
-        for d in range(2, len(levels)):
-            all_d = all_d.unionByName(deltas[d])
-        bc = all_d.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("bc"))
-    else:
-        bc = spark.createDataFrame([], "id long, bc double")
-    scores = (
-        verts.join(bc, "id", "left")
-        .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
-    )
-    scores = scores.localCheckpoint(eager=True)
+        # ---- backward: dependency accumulation, deepest level first ----
+        # delta[d] carries (s, v, sigma, delta); the deepest level has δ = 0.
+        deltas: list[DataFrame | None] = [None] * len(levels)
+        deltas[-1] = levels[-1].withColumn("delta", F.lit(0.0))
+        for d in range(len(levels) - 2, 0, -1):
+            nx = deltas[d + 1].select(
+                F.col("s").alias("_s"), F.col("v").alias("_w"),
+                F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
+            )
+            lv = levels[d]
+            contrib = (
+                e.join(lv.hint("shuffle_hash"), e["src"] == lv["v"])
+                .join(nx.hint("shuffle_hash"), (lv["s"] == nx["_s"]) & (e["dst"] == nx["_w"]))
+                .groupBy(lv["s"].alias("s"), lv["v"].alias("v"))
+                .agg(
+                    F.sum(
+                        _quant(
+                            (F.col("sigma").cast("double") / F.col("_sw").cast("double"))
+                            * (F.lit(1.0) + F.col("_dw"))
+                        )
+                    ).alias("_delta")
+                )
+            )
+            dd = (
+                lv.join(contrib, ["s", "v"], "left")
+                .select(
+                    "s", "v", "sigma",
+                    F.coalesce(F.col("_delta"), F.lit(0.0)).alias("delta"),
+                )
+            )
+            dump_plan(dd, "betweenness_backward_level")
+            deltas[d] = dd.localCheckpoint(eager=True)
+
+        if len(levels) > 1:
+            all_d = deltas[1]
+            for d in range(2, len(levels)):
+                all_d = all_d.unionByName(deltas[d])
+            bc = all_d.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("bc"))
+        else:
+            bc = spark.createDataFrame([], "id long, bc double")
+        scores = (
+            verts.join(bc, "id", "left")
+            .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+        )
+        scores = scores.localCheckpoint(eager=True)
     # scores is materialized and independent — release EVERY iteration
     # cache: forward levels, backward deltas, the final visited union and
     # any empty terminal frontier ((|S|·V)-scale each, ~3(h+1) tables; the

@@ -23,6 +23,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -49,6 +51,7 @@ def bfs_distances(
     import time
 
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     adj = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -66,7 +69,7 @@ def bfs_distances(
     dist = (
         sources.select("id").distinct()
         .withColumn("dist", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     frontier = dist.select("id")
     metrics = JobMetrics("bfs")
@@ -79,7 +82,7 @@ def bfs_distances(
             .distinct()
             .join(dist, "id", "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         n_new = nxt.count()
         metrics.add(SuperstepMetric(h, (time.monotonic() - t0) * 1000.0, n_adj, float(n_new)))
@@ -88,7 +91,7 @@ def bfs_distances(
             break
         hops = h
         old = dist
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(ckpt_state, P)
         old.unpersist()
         frontier = nxt.select("id")
     adj.unpersist()

@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -168,7 +170,7 @@ def bitruss(
     cur = (
         _edge_supports(e.repartition(P, "w"))
         .repartition(P, "w")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     metrics = JobMetrics("bitruss")
     rounds = 0
@@ -217,7 +219,7 @@ def bitruss(
                 (F.col("sup") - F.coalesce(F.col("_d"), F.lit(0))).alias("sup"),
             )
             .repartition(P, "w")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         n_after = cur.count()
         metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,

@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics
 
 
@@ -60,6 +62,7 @@ def katz_centrality(
             raise ValueError("exact_denominator requires beta == 1.0")
         alpha = 1.0 / exact_denominator
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
@@ -78,7 +81,7 @@ def katz_centrality(
         D = int(exact_denominator)
         x = verts.withColumn(
             "xs", F.lit(1).cast("decimal(38,0)")
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_state, P)
         for t in range(1, iters + 1):
             msgs = (
                 e.join(x.select(F.col("id").alias("src"), "xs"), "src")
@@ -104,13 +107,13 @@ def katz_centrality(
                     ).cast("decimal(38,0)").alias("xs"),
                 )
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_state, P)
             )
         x = x.select(
             "id", (F.col("xs").cast("double") / F.lit(float(D ** iters))).alias("katz")
         )
     else:
-        x = verts.withColumn("katz", F.lit(float(beta))).localCheckpoint(eager=True)
+        x = verts.withColumn("katz", F.lit(float(beta))).transform(ckpt_state, P)
         for _ in range(iters):
             msgs = (
                 e.join(x.select(F.col("id").alias("src"), "katz"), "src")
@@ -128,7 +131,7 @@ def katz_centrality(
                     ).alias("katz"),
                 )
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_state, P)
             )
     e.unpersist()
     return KatzResult(x, iters)

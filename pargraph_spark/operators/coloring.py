@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.operators.edges import symmetrize
 from pargraph_spark.operators.mis import _priority
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
@@ -78,6 +80,7 @@ def greedy_coloring(
     no convergence jobs (oracle parity): vertices still uncolored are
     simply absent from `colors`."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     # static full adjacency for the color-lookup join: persist partitioned
     # on u (probe side keyed by winner id) — retained outputPartitioning,
     # kcore.py:166-175 discipline
@@ -87,7 +90,7 @@ def greedy_coloring(
     usym = sym_all.repartition(P, "v").persist()
     und = (
         sym_all.select(F.col("u").alias("id")).distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     colored: DataFrame | None = None
     metrics = JobMetrics("coloring")
@@ -127,12 +130,12 @@ def greedy_coloring(
                 "id",
                 F.coalesce(_mex(F.col("_ncs")), F.lit(0)).alias("color"),
             )
-        wcol = wcol.localCheckpoint(eager=True)
+        wcol = wcol.transform(ckpt_state, P)
         if colored is None:
             colored = wcol
         else:
             old_colored = colored
-            colored = colored.unionByName(wcol).localCheckpoint(eager=True)
+            colored = colored.unionByName(wcol).transform(ckpt_state, P)
             # release the superseded union checkpoint (the landmarks.py
             # growing-union discipline) — review r5: O(V) blocks per
             # round accumulated for the session lifetime otherwise
@@ -145,7 +148,7 @@ def greedy_coloring(
         new_usym = (
             usym.join(wu, "u", "left_anti")
             .join(wv, "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         und.unpersist()
         usym.unpersist()

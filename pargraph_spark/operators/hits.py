@@ -38,6 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 GRID = float(1 << 30)  # quantization grid 2^-30 (~1e-9)
 
 
@@ -77,6 +79,7 @@ def hits(
     if iterations < 1:
         raise ValueError(f"hits requires iterations >= 1, got {iterations}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     e0 = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -106,7 +109,7 @@ def hits(
         empty = spark.createDataFrame([], "id long, hub double, authority double")
         return HitsResult(empty, 0)
 
-    h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).localCheckpoint(eager=True)
+    h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).transform(ckpt_state, P)
     a = None
     prev_a = None
     for _ in range(iterations):
@@ -119,7 +122,7 @@ def hits(
             verts.join(a_raw, verts["id"] == a_raw["vid"], "left")
             .select("id", F.coalesce("authority", F.lit(0.0)).alias("authority")),
             "authority",
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_state, P)
         h_raw = (
             e_dst.join(a, e_dst["dst"] == a["id"])
             .groupBy(e_dst["src"].alias("vid"))
@@ -129,7 +132,7 @@ def hits(
             verts.join(h_raw, verts["id"] == h_raw["vid"], "left")
             .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
             "hub",
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_state, P)
         h.unpersist()
         if prev_a is not None:
             prev_a.unpersist()  # superseded authority snapshot (review r5)
@@ -178,6 +181,7 @@ def salsa(
     if iterations < 1:
         raise ValueError(f"salsa requires iterations >= 1, got {iterations}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     e0 = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -210,7 +214,7 @@ def salsa(
         empty = spark.createDataFrame([], "id long, hub double, authority double")
         return SalsaResult(empty, 0)
 
-    h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).localCheckpoint(eager=True)
+    h = verts.withColumn("hub", quantize(F.lit(1.0 / n))).transform(ckpt_state, P)
     a = None
     prev_a = None
     for _ in range(iterations):
@@ -223,7 +227,7 @@ def salsa(
             verts.join(a_raw, verts["id"] == a_raw["vid"], "left")
             .select("id", F.coalesce("authority", F.lit(0.0)).alias("authority")),
             "authority",
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_state, P)
         h_raw = (
             e_dst.join(a, e_dst["dst"] == a["id"])
             .groupBy(e_dst["src"].alias("vid"))
@@ -233,7 +237,7 @@ def salsa(
             verts.join(h_raw, verts["id"] == h_raw["vid"], "left")
             .select("id", F.coalesce("hub", F.lit(0.0)).alias("hub")),
             "hub",
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_state, P)
         h.unpersist()
         if prev_a is not None:
             prev_a.unpersist()  # superseded authority snapshot (review r5)

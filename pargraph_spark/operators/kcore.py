@@ -31,6 +31,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 from .edges import symmetrize
@@ -57,6 +59,7 @@ def kcore(
     if k < 1:
         raise ValueError(f"kcore requires k >= 1, got {k}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     # persist, NOT localCheckpoint (review r5): an ExistingRDD scan
     # reports unknown partitioning, so a checkpointed edge table was
     # re-exchanged by every round's groupBy('u')/anti-join despite the
@@ -105,7 +108,7 @@ def kcore(
     core = (
         sym.groupBy(F.col("u").alias("id"))
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     sym.unpersist()
     return KCoreResult(core, rounds, converged, metrics)
@@ -176,6 +179,7 @@ def core_numbers(
     from pyspark.sql import Window
 
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     # persist, NOT localCheckpoint: the static edge table must RETAIN its
     # hash(v) outputPartitioning so every round's join probes it in place.
@@ -192,7 +196,7 @@ def core_numbers(
     est = (
         sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("c"))
         .repartition(P, "id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     metrics = JobMetrics("core_numbers")
     converged = False
@@ -233,7 +237,7 @@ def core_numbers(
             new_est = (
                 _hindex(sym, est)
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_state, P)
             )
             old = est
             est = new_est
@@ -270,13 +274,13 @@ def core_numbers(
             new_est = (
                 rest.unionByName(h_new)
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_state, P)
             )
             new_changed = (
                 h_new.join(est.select("id", F.col("c").alias("_old")), "id")
                 .where(F.col("c") != F.col("_old"))
                 .select("id")
-                .localCheckpoint(eager=True)
+                .transform(ckpt_state, P)
             )
             old = est
             est = new_est
@@ -359,7 +363,7 @@ def score_core(
     core = (
         sym.groupBy(F.col("u").alias("id"))
         .agg(F.sum("w").alias("strength"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     sym.unpersist()
     return KCoreResult(core, rounds, converged, metrics)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+from pargraph_spark.session import no_aqe, size_based_partitions
 
 
 @dataclass
@@ -64,6 +65,7 @@ def label_propagation(
     engine-independent (the contract-query configuration); float weights
     inherit summation-order sensitivity only at exact vote ties."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     # weight keeps its natural type (integer weights => exact vote sums)
     w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w.alias("w"))
@@ -89,62 +91,73 @@ def label_propagation(
     ).persist()
     n_sym = sym.count()
 
-    ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
-    labels = None
-    it = 0
-    if ckpt and resume:
-        m = ckpt.latest()
-        if m is not None:
+    with no_aqe(spark, P):
+        ckpt = CheckpointManager(checkpoint_dir, "labelprop") if checkpoint_dir else None
+        labels = None
+        it = 0
+        if ckpt and resume:
+            m = ckpt.latest()
+            if m is not None:
+                labels = (
+                    ckpt.load(spark, int(m["superstep"]))
+                    .select("id", "label")
+                    .repartition(P, "id")
+                    .localCheckpoint(eager=True)
+                )
+                it = int(m["superstep"])
+                if m.get("converged"):
+                    sym.unpersist()
+                    all_vertices.unpersist()
+                    return LabelPropResult(labels, it, True, JobMetrics("labelprop"))
+        if labels is None:
+            # hash(id, P) recorded at the checkpoint (no_aqe): the per-round
+            # probe join and the label-update join then run exchange-free
             labels = (
-                ckpt.load(spark, int(m["superstep"]))
-                .select("id", "label")
+                all_vertices.withColumn("label", F.col("id"))
+                .repartition(P, "id")
                 .localCheckpoint(eager=True)
             )
-            it = int(m["superstep"])
-            if m.get("converged"):
-                sym.unpersist()
-                all_vertices.unpersist()
-                return LabelPropResult(labels, it, True, JobMetrics("labelprop"))
-    if labels is None:
-        labels = all_vertices.withColumn("label", F.col("id")).localCheckpoint(eager=True)
-    metrics = JobMetrics("labelprop")
-    converged = False
-    while it < max_iter:
-        it += 1
-        t0 = time.monotonic()
-        # message: each vertex u sends its label (vote weight w) to v
-        nbr = sym.join(labels, sym["u"] == labels["id"]).select(
-            sym["v"].alias("id"), F.col("label"), sym["w"]
-        )
-        counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
-        best = counted.groupBy("id").agg(
-            F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("label").alias("l"))).alias("b")
-        ).select("id", F.col("b.l").alias("new_label"))
-        new_labels = (
-            labels.join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+        metrics = JobMetrics("labelprop")
+        converged = False
+        while it < max_iter:
+            it += 1
+            t0 = time.monotonic()
+            # message: each vertex u sends its label (vote weight w) to v
+            # shuffle_hash: build on the V-scale label side instead of sorting
+            # the persisted E-scale sym table every superstep (guide §3.1)
+            nbr = sym.join(labels.hint("shuffle_hash"),
+                           sym["u"] == labels["id"]).select(
+                sym["v"].alias("id"), F.col("label"), sym["w"]
             )
-        )
-        dump_plan(new_labels, "labelprop_superstep")
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
-        old = labels
-        labels = new_labels.drop("_chg")
-        old.unpersist()
-        metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0, n_sym, float(changed)))
-        if ckpt and (it % checkpoint_every == 0):
-            # record convergence even when it lands ON a cadence multiple
-            # (review r5: the periodic save lacked the flag, so a resume
-            # re-ran one superstep past the fixpoint and reported a
-            # different iteration count than an uninterrupted run)
-            ckpt.save(labels, it, {"changed": int(changed),
-                                   "converged": changed == 0})
-        if changed == 0:
-            converged = True
-            break
+            counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
+            best = counted.groupBy("id").agg(
+                F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("label").alias("l"))).alias("b")
+            ).select("id", F.col("b.l").alias("new_label"))
+            new_labels = (
+                labels.join(best.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+                )
+            )
+            dump_plan(new_labels, "labelprop_superstep")
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+            old = labels
+            labels = new_labels.drop("_chg")
+            old.unpersist()
+            metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0, n_sym, float(changed)))
+            if ckpt and (it % checkpoint_every == 0):
+                # record convergence even when it lands ON a cadence multiple
+                # (review r5: the periodic save lacked the flag, so a resume
+                # re-ran one superstep past the fixpoint and reported a
+                # different iteration count than an uninterrupted run)
+                ckpt.save(labels, it, {"changed": int(changed),
+                                       "converged": changed == 0})
+            if changed == 0:
+                converged = True
+                break
     if ckpt and converged and (it % checkpoint_every != 0):
         ckpt.save(labels, it, {"changed": 0, "converged": True})
     sym.unpersist()
@@ -179,6 +192,7 @@ def seeded_label_propagation(
     `seeds`: (id, label). Returns labels over the full vertex set with
     NULL for never-reached vertices."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)
     w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), w.alias("w"))
     sym = (
@@ -202,45 +216,48 @@ def seeded_label_propagation(
     # superstep re-scanned the edge table twice (review r5; the
     # label_propagation all_vertices precedent)
     base = all_vertices.join(sd, "id", "left").repartition(P, "id").persist()
-    labels = base.select(
-        "id", F.col("_seed").alias("label")
-    ).localCheckpoint(eager=True)
-    metrics = JobMetrics("seeded_labelprop")
-    converged = False
-    it = 0
-    while it < max_iter:
-        it += 1
-        t0 = time.monotonic()
-        nbr = (
-            sym.join(labels.where(F.col("label").isNotNull()),
-                     sym["u"] == F.col("id"))
-            .select(sym["v"].alias("id"), F.col("label"), sym["w"])
-        )
-        counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
-        best = counted.groupBy("id").agg(
-            F.min(F.struct((-F.col("cnt")).alias("negc"),
-                           F.col("label").alias("l"))).alias("b")
-        ).select("id", F.col("b.l").alias("new_label"))
-        new_labels = (
-            base.join(labels.select("id", F.col("label").alias("_old")), "id")
-            .join(best, "id", "left")
-            .select(
-                "id",
-                # clamp beats vote beats carry-forward
-                F.coalesce("_seed", "new_label", "_old").alias("label"),
-                (~F.coalesce("_seed", "new_label", "_old").eqNullSafe(F.col("_old"))).alias("_chg"),
+    with no_aqe(spark, P):
+        labels = base.select(
+            "id", F.col("_seed").alias("label")
+        ).localCheckpoint(eager=True)
+        metrics = JobMetrics("seeded_labelprop")
+        converged = False
+        it = 0
+        while it < max_iter:
+            it += 1
+            t0 = time.monotonic()
+            nbr = (
+                sym.join(labels.where(F.col("label").isNotNull())
+                         .hint("shuffle_hash"),
+                         sym["u"] == F.col("id"))
+                .select(sym["v"].alias("id"), F.col("label"), sym["w"])
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
-        old = labels
-        labels = new_labels.drop("_chg")
-        old.unpersist()
-        metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0,
-                                    n_sym, float(changed)))
-        if changed == 0:
-            converged = True
-            break
+            counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
+            best = counted.groupBy("id").agg(
+                F.min(F.struct((-F.col("cnt")).alias("negc"),
+                               F.col("label").alias("l"))).alias("b")
+            ).select("id", F.col("b.l").alias("new_label"))
+            new_labels = (
+                base.join(labels.select("id", F.col("label").alias("_old"))
+                          .hint("shuffle_hash"), "id")
+                .join(best.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    # clamp beats vote beats carry-forward
+                    F.coalesce("_seed", "new_label", "_old").alias("label"),
+                    (~F.coalesce("_seed", "new_label", "_old").eqNullSafe(F.col("_old"))).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+            old = labels
+            labels = new_labels.drop("_chg")
+            old.unpersist()
+            metrics.add(SuperstepMetric(it, (time.monotonic() - t0) * 1000.0,
+                                        n_sym, float(changed)))
+            if changed == 0:
+                converged = True
+                break
     sym.unpersist()
     base.unpersist()
     return LabelPropResult(labels, it, converged, metrics)

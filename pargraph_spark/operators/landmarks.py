@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -70,6 +72,7 @@ def landmark_distances(
     (id tie-break). One BFS wave carries all landmarks at once; state and
     output hold only REACHED (landmark, id) pairs."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     fwd = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     adj = (
         fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -91,13 +94,13 @@ def landmark_distances(
         verts.orderBy(_lm_priority(F.col("id"), salt).asc(), F.col("id").asc())
         .limit(int(num_landmarks))
         .select("id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     dist = (
         lms.select(
             F.col("id").alias("landmark"), F.col("id"), F.lit(0).alias("dist")
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     frontier = dist.select("landmark", "id")
     metrics = JobMetrics("landmarks")
@@ -110,7 +113,7 @@ def landmark_distances(
             .distinct()
             .join(dist, ["landmark", "id"], "left_anti")
             .withColumn("dist", F.lit(h))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         n_new = nxt.count()
         metrics.add(
@@ -121,7 +124,7 @@ def landmark_distances(
             break
         hops = h
         old = dist
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt).transform(ckpt_state, P)
         old.unpersist()
         frontier = nxt.select("landmark", "id")
     adj.unpersist()

@@ -32,6 +32,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.operators.edges import symmetrize
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -74,6 +76,7 @@ def maximal_independent_set(
     rounds with no convergence jobs (oracle parity; rounds past
     exhaustion are identity and `converged` stays False)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     # Round 1's E-scale probe is sym ⋈ priorities on v — persist (NOT
     # localCheckpoint, which loses outputPartitioning) partitioned on v so
     # the first, largest round probes in place (VERDICT r4 nit). Later
@@ -81,7 +84,7 @@ def maximal_independent_set(
     # matters more once the undecided subgraph is small.
     sym = symmetrize(edges).repartition(P, "v").persist()
     sym.count()
-    und = sym.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    und = sym.select(F.col("u").alias("id")).distinct().transform(ckpt_state, P)
     members: DataFrame | None = None
     metrics = JobMetrics("mis")
     converged = False
@@ -102,20 +105,20 @@ def maximal_independent_set(
             pk.join(nbrmin, "id", "left")
             .where(F.col("_nmin").isNull() | (F.col("pk") < F.col("_nmin")))
             .select("id")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         winners = got
         removed = winners.unionByName(
             sym.join(winners.select(F.col("id").alias("u")), "u")
             .select(F.col("v").alias("id"))
-        ).distinct().localCheckpoint(eager=True)
-        new_und = und.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        ).distinct().transform(ckpt_state, P)
+        new_und = und.join(removed, "id", "left_anti").transform(ckpt_state, P)
         new_sym = (
             sym.join(removed.select(F.col("id").alias("u")), "u", "left_anti")
             .join(removed.select(F.col("id").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
-        members = got if members is None else members.unionByName(got).localCheckpoint(eager=True)
+        members = got if members is None else members.unionByName(got).transform(ckpt_state, P)
         und.unpersist()
         sym.unpersist()
         und, sym = new_und, new_sym

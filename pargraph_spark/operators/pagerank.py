@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.operators.csr import spmv_from_store, with_pid, write_csr_store
-from pargraph_spark.session import no_aqe
+from pargraph_spark.session import no_aqe, size_based_partitions
 from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.checkpoint import CheckpointManager
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
@@ -156,7 +156,11 @@ def pagerank(
     if weight_col is not None and mode == "csr":
         raise NotImplementedError("weighted PageRank: use mode='dataframe'")
     P = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
-    P = int(P)
+    # scale-adaptive: treat the caller's count as a cap and size the
+    # edge/state partitioning from the input's estimated bytes (guide
+    # §2.2 — fewer, larger partitions; the loops below run under no_aqe,
+    # so AQE cannot coalesce for us)
+    P = size_based_partitions(edges, int(P))
 
     edges = edges.where(F.col("src") != F.col("dst"))
     if weight_col is None:
@@ -309,7 +313,7 @@ def pagerank(
         d = row["_delta"]
         return (float("nan") if d is None else float(d)), float(row["_dang"])
 
-    with no_aqe(spark):
+    with no_aqe(spark, P):
         # initial state materialization under no-AQE records hash(id, P)
         ranks = ranks.repartition(P, "id").localCheckpoint(eager=True)
 

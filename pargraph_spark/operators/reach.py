@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pargraph_spark.operators.edges import symmetrize
 from pargraph_spark.plans.debug import dump_plan
+from pargraph_spark.session import no_aqe, size_based_partitions
 
 _HEX_BITS = 60  # 15 hex chars of md5 — fits BIGINT exactly in both engines
 
@@ -45,6 +46,17 @@ def _h15(col):
     return F.substring(F.md5(col.cast("string").cast("binary")), 1, 15)
 
 
+def _h60(col):
+    """The same 60-bit hash as a BIGINT. r6 (guide §2.3, narrower types):
+    sketch rows used to carry the 15-char hex STRING through every
+    propagation exchange (~23 B + offsets per value); as a long they are
+    8 B and compare as integers. Fixed-width lowercase hex sorts
+    lexicographically exactly as the integer sorts numerically, so min/
+    max/top-k over the long sketch select the SAME values and the final
+    estimator sees identical operands — outputs are bit-identical."""
+    return F.conv(_h15(col), 16, 10).cast("bigint")
+
+
 def _propagate(spark, edges, hops: int, k: int, P: int,
                keep_all: bool = False):
     """Run the KMV sketch-propagation loop; returns the final sketch rows
@@ -52,33 +64,40 @@ def _propagate(spark, edges, hops: int, k: int, P: int,
     localCheckpoint-materialized — intermediate hops stay valid)."""
     from pyspark.sql import Window
 
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     # persist retains hash(u) outputPartitioning across hops; a
-    # localCheckpoint scan would report unknown partitioning and force an
-    # E-scale exchange of sym every hop (the core_numbers r4 fix)
+    # localCheckpoint scan under AQE would report unknown partitioning and
+    # force an E-scale exchange of sym every hop (the core_numbers r4 fix)
     sym = symmetrize(edges).repartition(P, "u").persist()
     sym.count()
-    verts = sym.select(F.col("u").alias("v")).distinct()
-    rows = verts.select("v", _h15(F.col("v")).alias("h")).repartition(P, "v")
-    rows = rows.localCheckpoint(eager=True)
-    all_rows = [rows]
-    w = Window.partitionBy("v").orderBy("h")
-    for _ in range(hops):
-        msgs = sym.join(rows.withColumnRenamed("v", "u").withColumnRenamed(
-            "h", "_h"), "u").select("v", F.col("_h").alias("h"))
-        merged = (
-            rows.unionByName(msgs)
-            .distinct()  # (v,h)-keyed: partial-combines map-side
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .drop("_rn")
-            .repartition(P, "v")
-        )
-        old = rows
-        dump_plan(merged, "kmv_reach_hop")
-        rows = merged.localCheckpoint(eager=True)
-        if not keep_all:
-            old.unpersist()
-        all_rows.append(rows)
+    with no_aqe(spark, P):
+        verts = sym.select(F.col("u").alias("v")).distinct()
+        rows = verts.select("v", _h60(F.col("v")).alias("h")).repartition(P, "v")
+        rows = rows.localCheckpoint(eager=True)
+        all_rows = [rows]
+        w = Window.partitionBy("v").orderBy("h")
+        for _ in range(hops):
+            # rows is checkpointed hash(v, P); renamed to u it co-partitions
+            # with sym, so the propagation join runs in place (shuffle_hash:
+            # build the V·k sketch side, never sort the E-scale sym table)
+            msgs = sym.join(rows.withColumnRenamed("v", "u").withColumnRenamed(
+                "h", "_h").hint("shuffle_hash"), "u").select(
+                "v", F.col("_h").alias("h"))
+            merged = (
+                rows.unionByName(msgs)
+                .distinct()  # (v,h)-keyed: partial-combines map-side
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .drop("_rn")
+                # no trailing repartition: the window's exchange already
+                # leaves hash(v, P), which the checkpoint records (no_aqe)
+            )
+            old = rows
+            dump_plan(merged, "kmv_reach_hop")
+            rows = merged.localCheckpoint(eager=True)
+            if not keep_all:
+                old.unpersist()
+            all_rows.append(rows)
     sym.unpersist()  # sketch rows are localCheckpoint-materialized
     return all_rows if keep_all else rows
 
@@ -91,7 +110,7 @@ def _estimate(rows: DataFrame, k: int) -> DataFrame:
     agg = rows.groupBy(F.col("v").alias("id")).agg(
         F.count("*").alias("sketch_n"), F.max("h").alias("_hk")
     )
-    hk = F.conv(F.col("_hk"), 16, 10).cast("bigint").cast("double")
+    hk = F.col("_hk").cast("double")  # h is already the 60-bit BIGINT
     return agg.select(
         "id",
         "sketch_n",

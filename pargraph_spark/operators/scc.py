@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
+from pargraph_spark.session import no_aqe, size_based_partitions
 
 
 @dataclass
@@ -88,55 +89,207 @@ def strongly_connected_components(
     a given graph regardless of execution order.
     """
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)
     metrics = JobMetrics("scc")
 
-    e0 = _dedup_edges(edges)
-    verts = (
-        vertices.select(F.col("id").cast("long"))
-        if vertices is not None
-        else e0.select(F.col("src").alias("id")).unionByName(
-            e0.select(F.col("dst").alias("id"))
+    # whole fixpoint under no-AQE: checkpointed V-scale state keeps its
+    # recorded hash partitioning (see session.no_aqe)
+    with no_aqe(spark, P):
+        # setup in ONE E-scale exchange (r6): repartition on the probe key
+        # first, then dedupe in place — hash(src) co-locates every
+        # (src, dst) pair, so dropDuplicates adds no second exchange (the
+        # old distinct-then-repartition shape exchanged E twice); persist,
+        # NEVER localCheckpoint (the r4 persist-discipline rule: the
+        # E-scale relation is probed in place by every inner round)
+        active_e = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .where(F.col("src") != F.col("dst"))
+            .repartition(P, "src")
+            .dropDuplicates(["src", "dst"])
+            .persist()
         )
-    ).distinct().repartition(P, "id").localCheckpoint(eager=True)
-
-    # repartition+persist, NEVER localCheckpoint: an ExistingRDD scan
-    # reports unknown partitioning and every inner fixpoint round would
-    # re-exchange the E-scale relation (the r4 persist-discipline rule,
-    # kcore.py/reach.py)
-    active_e = e0.repartition(P, "src").persist()
-    active_e.count()
-    assigned: list[DataFrame] = []
-    converged = False
-    outer = 0
-
-    while outer < max_outer:
-        outer += 1
-        t0 = time.monotonic()
-
-        # ---- 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
-        n_verts = verts.count()
-        while True:
-            has_out = active_e.select(F.col("src").alias("id")).distinct()
-            has_in = active_e.select(F.col("dst").alias("id")).distinct()
-            keep = (
-                verts.join(has_out, "id", "left_semi")
-                .join(has_in, "id", "left_semi")
-                .repartition(P, "id")
+        active_e.count()
+        # vertex set from the (now cached) edge table — two cache scans,
+        # not two recomputations of the dedup pipeline
+        verts = (
+            vertices.select(F.col("id").cast("long"))
+            if vertices is not None
+            else active_e.select(F.col("src").alias("id")).unionByName(
+                active_e.select(F.col("dst").alias("id"))
             )
-            dump_plan(keep, "scc_trim_round")
-            keep = keep.localCheckpoint(eager=True)
-            n_keep = keep.count()
-            n_trim = n_verts - n_keep
-            if n_trim == 0:
+        ).distinct().repartition(P, "id").localCheckpoint(eager=True)
+        assigned: list[DataFrame] = []
+        converged = False
+        outer = 0
+
+        while outer < max_outer:
+            outer += 1
+            t0 = time.monotonic()
+
+            # ---- 1. trim to fixpoint: no-in or no-out vertices are singleton SCCs
+            n_verts = verts.count()
+            while True:
+                has_out = active_e.select(F.col("src").alias("id")).distinct()
+                has_in = active_e.select(F.col("dst").alias("id")).distinct()
+                # no trailing repartition: verts is checkpointed hash(id, P)
+                # (recorded under no_aqe) and the semi joins preserve it;
+                # shuffle_hash builds on the deduped endpoint sets instead of
+                # sorting both sides (guide §3.1)
+                keep = (
+                    verts.join(has_out.hint("shuffle_hash"), "id", "left_semi")
+                    .join(has_in.hint("shuffle_hash"), "id", "left_semi")
+                )
+                dump_plan(keep, "scc_trim_round")
+                keep = keep.localCheckpoint(eager=True)
+                n_keep = keep.count()
+                n_trim = n_verts - n_keep
+                if n_trim == 0:
+                    verts = keep
+                    break
+                # trimmed's lineage is shallow (checkpointed verts ⋈ keep) — no
+                # materialization needed, the final union reads it once
+                trimmed = verts.join(keep, "id", "left_anti")
+                assigned.append(trimmed.select("id", F.col("id").alias("scc")))
                 verts = keep
+                n_verts = n_keep
+                if n_keep == 0:
+                    break
+                new_e = (
+                    active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
+                    .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+                    .repartition(P, "src")
+                    .persist()
+                )
+                new_e.count()
+                active_e.unpersist()
+                active_e = new_e
+
+            n_active = n_verts
+            if n_active == 0:
+                converged = True
                 break
-            # trimmed's lineage is shallow (checkpointed verts ⋈ keep) — no
-            # materialization needed, the final union reads it once
-            trimmed = verts.join(keep, "id", "left_anti")
-            assigned.append(trimmed.select("id", F.col("id").alias("scc")))
-            verts = keep
-            n_verts = n_keep
-            if n_keep == 0:
+
+            # ---- dual persisted copies: forward probes e_src, backward probes e_dst
+            e_src = active_e  # already repartitioned on src by the trim loop
+            e_dst = active_e.repartition(P, "dst").persist()
+            e_dst.count()
+
+            # ---- 2. forward min-label coloring to fixpoint — DELTA frontier:
+            # min-propagation is monotone, so only vertices whose color just
+            # improved need to re-emit; late-round cost is frontier-scale, not
+            # V-scale (AQE broadcasts the shrinking frontier side)
+            # NOTE: the init projection aliases id -> color and the recorded
+            # checkpoint partitioning latches onto the alias (hash(color)),
+            # so round 1 re-exchanges the V-scale state once; steady-state
+            # rounds record hash(id) from the join output and run in place
+            colors = verts.withColumn("color", F.col("id")).localCheckpoint(eager=True)
+            frontier = colors
+            fix = False
+            for _ in range(max_inner):
+                msgs = (
+                    e_src.join(
+                        frontier.select(F.col("id").alias("src"), "color")
+                        .hint("shuffle_hash"),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("color").alias("_mc"))
+                )
+                # colors (checkpointed hash(id, P)) and msgs (aggregate output,
+                # hash(id, P)) are co-partitioned: the join and the checkpoint
+                # need no exchange — the only shuffle per round is the message
+                # aggregation itself
+                new_colors = (
+                    colors.join(msgs.hint("shuffle_hash"), "id", "left")
+                    .select(
+                        "id",
+                        F.least(F.col("color"), F.coalesce("_mc", "color")).alias("color"),
+                        (F.coalesce("_mc", "color") < F.col("color")).alias("_chg"),
+                    )
+                )
+                dump_plan(new_colors, "scc_color_round")
+                new_colors = new_colors.localCheckpoint(eager=True)
+                frontier = new_colors.where("_chg").select("id", "color")
+                changed = frontier.count()
+                colors = new_colors.drop("_chg")
+                if not changed:
+                    fix = True
+                    break
+            if not fix:
+                # a truncated coloring would silently FRAGMENT real SCCs (a
+                # cycle longer than max_inner would come back as singletons,
+                # flagged converged) — propagation depth is bounded by the
+                # longest simple path, so failing loudly is the only honest
+                # outcome
+                raise RuntimeError(
+                    f"scc: forward coloring did not reach fixpoint within "
+                    f"max_inner={max_inner} rounds — raise max_inner"
+                )
+
+            # ---- 3. constrained backward sweep from roots — same delta rule:
+            # membership is monotone, only NEWLY-joined members notify their
+            # in-neighbors
+            state = colors.withColumn(
+                "in_scc", F.col("color") == F.col("id")
+            ).localCheckpoint(eager=True)
+            frontier = state.where("in_scc").select("id", "color")
+            fix = False
+            for _ in range(max_inner):
+                cand = (
+                    e_dst.join(
+                        frontier.select(
+                            F.col("id").alias("dst"), F.col("color").alias("_c")
+                        ).hint("shuffle_hash"),
+                        "dst",
+                    )
+                    .select(F.col("src").alias("_cid"), "_c")
+                    .distinct()
+                )
+                # state stays hash(id, P); only the (deduped) candidate side
+                # re-exchanges to the compatible hash(_cid, P) spec
+                new_state = (
+                    state.join(
+                        cand.hint("shuffle_hash"),
+                        (F.col("id") == F.col("_cid")) & (F.col("color") == F.col("_c")),
+                        "left",
+                    )
+                    .select(
+                        "id",
+                        "color",
+                        (F.col("in_scc") | F.col("_c").isNotNull()).alias("in_scc"),
+                        (~F.col("in_scc") & F.col("_c").isNotNull()).alias("_chg"),
+                    )
+                )
+                dump_plan(new_state, "scc_sweep_round")
+                new_state = new_state.localCheckpoint(eager=True)
+                frontier = new_state.where("_chg").select("id", "color")
+                changed = frontier.count()
+                state = new_state.drop("_chg")
+                if not changed:
+                    fix = True
+                    break
+            if not fix:
+                raise RuntimeError(
+                    f"scc: backward sweep did not reach fixpoint within "
+                    f"max_inner={max_inner} rounds — raise max_inner"
+                )
+
+            # ---- 4. extract the discovered SCCs, shrink the active graph
+            # (state is checkpointed, so members' lineage is shallow)
+            members = state.where("in_scc").select("id", F.col("color").alias("scc"))
+            assigned.append(members)
+            verts = (
+                verts.join(members.select("id"), "id", "left_anti")
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            n_left = verts.count()
+            e_dst.unpersist()
+            metrics.supersteps.append(
+                SuperstepMetric(outer, (time.monotonic() - t0) * 1000.0, n_left, 0.0)
+            )
+            if n_left == 0:
+                converged = True
                 break
             new_e = (
                 active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
@@ -147,133 +300,6 @@ def strongly_connected_components(
             new_e.count()
             active_e.unpersist()
             active_e = new_e
-
-        n_active = n_verts
-        if n_active == 0:
-            converged = True
-            break
-
-        # ---- dual persisted copies: forward probes e_src, backward probes e_dst
-        e_src = active_e  # already repartitioned on src by the trim loop
-        e_dst = active_e.repartition(P, "dst").persist()
-        e_dst.count()
-
-        # ---- 2. forward min-label coloring to fixpoint — DELTA frontier:
-        # min-propagation is monotone, so only vertices whose color just
-        # improved need to re-emit; late-round cost is frontier-scale, not
-        # V-scale (AQE broadcasts the shrinking frontier side)
-        colors = verts.withColumn("color", F.col("id")).localCheckpoint(eager=True)
-        frontier = colors
-        fix = False
-        for _ in range(max_inner):
-            msgs = (
-                e_src.join(
-                    frontier.select(F.col("id").alias("src"), "color"), "src"
-                )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("color").alias("_mc"))
-            )
-            new_colors = (
-                colors.join(msgs, "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("color"), F.coalesce("_mc", "color")).alias("color"),
-                    (F.coalesce("_mc", "color") < F.col("color")).alias("_chg"),
-                )
-                .repartition(P, "id")
-            )
-            dump_plan(new_colors, "scc_color_round")
-            new_colors = new_colors.localCheckpoint(eager=True)
-            frontier = new_colors.where("_chg").select("id", "color")
-            changed = frontier.count()
-            colors = new_colors.drop("_chg")
-            if not changed:
-                fix = True
-                break
-        if not fix:
-            # a truncated coloring would silently FRAGMENT real SCCs (a
-            # cycle longer than max_inner would come back as singletons,
-            # flagged converged) — propagation depth is bounded by the
-            # longest simple path, so failing loudly is the only honest
-            # outcome
-            raise RuntimeError(
-                f"scc: forward coloring did not reach fixpoint within "
-                f"max_inner={max_inner} rounds — raise max_inner"
-            )
-
-        # ---- 3. constrained backward sweep from roots — same delta rule:
-        # membership is monotone, only NEWLY-joined members notify their
-        # in-neighbors
-        state = colors.withColumn(
-            "in_scc", F.col("color") == F.col("id")
-        ).localCheckpoint(eager=True)
-        frontier = state.where("in_scc").select("id", "color")
-        fix = False
-        for _ in range(max_inner):
-            cand = (
-                e_dst.join(
-                    frontier.select(
-                        F.col("id").alias("dst"), F.col("color").alias("_c")
-                    ),
-                    "dst",
-                )
-                .select(F.col("src").alias("_cid"), "_c")
-                .distinct()
-            )
-            new_state = (
-                state.join(
-                    cand,
-                    (F.col("id") == F.col("_cid")) & (F.col("color") == F.col("_c")),
-                    "left",
-                )
-                .select(
-                    "id",
-                    "color",
-                    (F.col("in_scc") | F.col("_c").isNotNull()).alias("in_scc"),
-                    (~F.col("in_scc") & F.col("_c").isNotNull()).alias("_chg"),
-                )
-                .repartition(P, "id")
-            )
-            dump_plan(new_state, "scc_sweep_round")
-            new_state = new_state.localCheckpoint(eager=True)
-            frontier = new_state.where("_chg").select("id", "color")
-            changed = frontier.count()
-            state = new_state.drop("_chg")
-            if not changed:
-                fix = True
-                break
-        if not fix:
-            raise RuntimeError(
-                f"scc: backward sweep did not reach fixpoint within "
-                f"max_inner={max_inner} rounds — raise max_inner"
-            )
-
-        # ---- 4. extract the discovered SCCs, shrink the active graph
-        # (state is checkpointed, so members' lineage is shallow)
-        members = state.where("in_scc").select("id", F.col("color").alias("scc"))
-        assigned.append(members)
-        verts = (
-            verts.join(members.select("id"), "id", "left_anti")
-            .repartition(P, "id")
-            .localCheckpoint(eager=True)
-        )
-        n_left = verts.count()
-        e_dst.unpersist()
-        metrics.supersteps.append(
-            SuperstepMetric(outer, (time.monotonic() - t0) * 1000.0, n_left, 0.0)
-        )
-        if n_left == 0:
-            converged = True
-            break
-        new_e = (
-            active_e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .repartition(P, "src")
-            .persist()
-        )
-        new_e.count()
-        active_e.unpersist()
-        active_e = new_e
 
     active_e.unpersist()
     if not converged:

@@ -43,6 +43,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -71,6 +73,7 @@ def sssp(
     column keeps the weight column's type: integer weights give exact
     integer distances (the cross-engine-exact contract configuration)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
     fwd = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
         F.col(weight_col).alias("w"),
@@ -94,7 +97,7 @@ def sssp(
         sources.select("id").distinct()
         .withColumn("dist", zero)
         .repartition(P, "id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_state, P)
     )
     frontier = dist
     metrics = JobMetrics("sssp")
@@ -121,7 +124,7 @@ def sssp(
                     & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
                 ).alias("_imp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         frontier = merged.where(F.col("_imp")).select("id", "dist")
         n_improved = frontier.count()

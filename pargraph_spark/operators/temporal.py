@@ -37,6 +37,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
 
@@ -79,7 +81,7 @@ def earliest_arrival(
         arr = seeds.select("id", "arr")
     else:
         arr = seeds.select("id", F.lit(0).cast("long").alias("arr"))
-    arr = arr.groupBy("id").agg(F.min("arr").alias("arr")).localCheckpoint(eager=True)
+    arr = arr.groupBy("id").agg(F.min("arr").alias("arr")).transform(ckpt_state, P)
     metrics = JobMetrics("temporal_reach")
     rounds, converged = 0, False
     n_rounds = fixed_rounds if fixed_rounds is not None else max_rounds
@@ -95,7 +97,7 @@ def earliest_arrival(
             arr.unionByName(relax)
             .groupBy("id")
             .agg(F.min("arr").alias("arr"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         if fixed_rounds is None:
             n_changed = (

@@ -53,8 +53,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangle_triples(edges: DataFrame) -> DataFrame:
-    """(s, x, y) — every triangle exactly once, vertices in (deg,id) order."""
-    o = _oriented(edges)
+    """(s, x, y) — every triangle exactly once, vertices in (deg,id) order.
+
+    r6: the oriented edge list is materialized ONCE (eager localCheckpoint)
+    — it feeds three consumers (both wedge sides and the closing probe),
+    and as a plain subtree the whole orientation pipeline (distinct +
+    degree aggregate + two joins, ~5 exchanges) re-executed for each; only
+    identical Exchange nodes get runtime reuse, which the closing side's
+    (x, y) keying defeats. Rows are unchanged — only evaluated once."""
+    o = _oriented(edges).localCheckpoint(eager=True)
     e1 = o.select(F.col("s"), F.col("t").alias("x"), F.col("degt").alias("degx"))
     e2 = o.select(F.col("s"), F.col("t").alias("y"), F.col("degt").alias("degy"))
     # each unordered wedge once: (x before y) in the same (deg, id) order

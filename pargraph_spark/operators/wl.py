@@ -46,6 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pargraph_spark.session import ckpt_state, size_based_partitions
+
 from .edges import symmetrize
 
 # The multiset sum runs in DECIMAL(38,0): 60-bit terms over any real
@@ -94,6 +96,7 @@ def wl_colors(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     spark = edges.sparkSession
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
 
     # partitioned on the JOIN key u — the per-round colors join probes
     # the persisted copy in place (the core_numbers/r4 discipline; a
@@ -113,7 +116,7 @@ def wl_colors(
     # colors feeds TWO consumers per round (the neighbor-sum join and the
     # rehash join), so un-truncated lineage doubles every round and the
     # driver OOMs just printing the plan by round ~10
-    colors = colors.localCheckpoint(eager=True)
+    colors = colors.transform(ckpt_state, P)
     n_colors = colors.select("color").distinct().count() if check_convergence else -1
 
     r, converged = 0, False
@@ -141,7 +144,7 @@ def wl_colors(
                     )
                 ).alias("color"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt_state, P)
         )
         colors, r = new, t
         if check_convergence:

@@ -15,9 +15,15 @@ from pyspark.sql import SparkSession
 
 
 @contextmanager
-def no_aqe(spark: SparkSession):
-    """Disable adaptive query execution for a superstep loop, restoring
-    the previous setting on exit.
+def no_aqe(spark: SparkSession, shuffle_partitions: int | None = None):
+    """Disable adaptive query execution for a superstep loop — and, when
+    ``shuffle_partitions`` is given, pin the session's shuffle partition
+    count to the operator's P for the loop's duration — restoring both on
+    exit. Pinning matters once P is size-derived: groupBy/join exchanges
+    inside the loop take their count from the session conf, and a conf
+    value ≠ P would make every aggregate output partitioning incompatible
+    with the P-partitioned state/edge tables, silently re-exchanging what
+    the whole design keeps in place.
 
     Why (r6, guide §2.4 — remove shuffles outright): ``localCheckpoint``
     records the materialized plan's outputPartitioning into its
@@ -33,12 +39,61 @@ def no_aqe(spark: SparkSession):
     re-planning buys nothing there; it stays on for everything outside
     the loops (scans, one-shot queries, candidate joins)."""
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    prev_shuffle = spark.conf.get(skey)
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(skey, str(int(shuffle_partitions)))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        spark.conf.set(skey, prev_shuffle)
+
+
+def size_based_partitions(df, cap: int) -> int:
+    """Scale-adaptive partition count for an operator's edge/state tables
+    (guide §2.2) — the AQE partition-coalescing rule applied manually,
+    because the fixpoint loops run under ``no_aqe`` and pin one P for
+    every co-partitioned probe: enough partitions for ~advisory bytes
+    each, floored at the session's default parallelism (AQE's
+    parallelismFirst semantics — never idle cores to make partitions
+    bigger), capped at the caller's ``num_partitions``.
+
+    The size comes from the optimizer's estimate of the INPUT relation
+    (parquet file sizes, cache statistics) — no extra job. When the
+    estimate is unusable (join-cardinality guesses, LogicalRDD default
+    of 2^63) the caller's cap is returned unchanged, so this can only
+    REDUCE task-count overhead, never mis-partition real volume.
+    Advisory bytes: $SPARK_GRAFT_ADVISORY_BYTES (default 64 MiB, the AQE
+    default)."""
+    import math
+
+    spark = df.sparkSession
+    adv = int(os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", str(64 << 20)))
+    floor = max(1, min(cap, spark.sparkContext.defaultParallelism))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if size <= 0 or size >= (1 << 60):  # unknown/unusable estimate
+        return cap
+    return max(floor, min(cap, math.ceil(size / adv)))
+
+
+def ckpt_state(df, P: int):
+    """Partitioning-preserving eager localCheckpoint for iteration state.
+
+    Materializes under ``no_aqe(P)`` so (a) the produced LogicalRDD
+    RECORDS its hash partitioning — the next round's co-partitioned joins
+    and aggregations then probe the state in place instead of re-
+    exchanging it (see no_aqe) — and (b) every exchange inside this
+    materialization uses the operator's P rather than the session's
+    shuffle-partition count. Drop-in as ``df.transform(ckpt_state, P)``
+    in place of ``df.localCheckpoint(eager=True)``; rows unchanged."""
+    with no_aqe(df.sparkSession, P):
+        return df.localCheckpoint(eager=True)
 
 
 def default_cores() -> int:

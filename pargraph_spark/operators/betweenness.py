@@ -85,19 +85,24 @@ def betweenness(
         raise ValueError(f"betweenness requires max_depth >= 1, got {max_depth}")
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
     P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
-    e0 = (
-        edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    )
-    if not directed:
-        e0 = (
-            e0.select(F.least("src", "dst").alias("src"),
-                      F.greatest("src", "dst").alias("dst"))
+    base = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    if directed:
+        # one E-scale setup exchange (r6, the scc idiom): partition on the
+        # probe key, dedupe in place
+        e = base.repartition(P, "src").dropDuplicates(["src", "dst"]).persist()
+    else:
+        und = (
+            base.select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
             .distinct()
         )
-        e0 = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = (
+            und.unionByName(
+                und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(P, "src")
+            .persist()
         )
-    e = e0.repartition(P, "src").persist()
     e.count()
     verts = (
         e.select(F.col("src").alias("id"))

@@ -134,10 +134,23 @@ def connected_components(
         )
     metrics = JobMetrics("components")
 
-    def _signature(df: DataFrame) -> tuple[int, int]:
-        row = df.select(
+    def _signature(df: DataFrame, assume_canonical: bool = False) -> tuple[int, int]:
+        """(count, xor-of-hashes) of the canonical undirected edge SET.
+
+        assume_canonical (r6): star-round outputs are strictly u > v and
+        already distinct (large-star emits (v, m) with v > m; small-star
+        emits (x, min) with x > min; both end in .distinct()), so the
+        canonicalizing select+distinct is a provable no-op on them —
+        skipping it removes one E-scale exchange per round from the
+        convergence check and produces the IDENTICAL (count, hash). The
+        initial edge set is NOT canonical ((a,b),(b,a) may both occur)
+        and keeps the full path."""
+        canon = df.select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        ).distinct().agg(
+        )
+        if not assume_canonical:
+            canon = canon.distinct()
+        row = canon.agg(
             F.count("*").alias("c"),
             # bit_xor: order-independent, overflow-free (ANSI mode) checksum;
             # safe because the set is distinct (no pair cancellation)
@@ -154,7 +167,7 @@ def connected_components(
         new_e = _small_star(_large_star(e))
         dump_plan(new_e, "cc_round")
         new_e = new_e.localCheckpoint(eager=True)
-        new_sig = _signature(new_e)
+        new_sig = _signature(new_e, assume_canonical=True)
         e.unpersist()
         e = new_e
         metrics.add(SuperstepMetric(rounds, (time.monotonic() - t0) * 1000.0,

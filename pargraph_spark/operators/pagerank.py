@@ -162,22 +162,31 @@ def pagerank(
     # so AQE cannot coalesce for us)
     P = size_based_partitions(edges, int(P))
 
+    # setup in ONE E-scale exchange (r6, the scc idiom): repartition on
+    # the probe key first — hash(src) co-locates every (src, dst) pair,
+    # so the dedup/weight-combine aggregation runs in place instead of
+    # adding its own exchange before the repartition. Materialized under
+    # no_aqe: the cached plan's reported partitioning must be the static
+    # hash(src, P) — an AQE-wrapped aggregate-on-top plan reports Unknown
+    # and every superstep would re-exchange the E-scale cache.
     edges = edges.where(F.col("src") != F.col("dst"))
     if weight_col is None:
-        edges = edges.dropDuplicates(["src", "dst"])
+        edges = edges.repartition(P, "src").dropDuplicates(["src", "dst"])
     else:
         edges = (
             edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+            .repartition(P, "src")
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
         )
-    edges = edges.repartition(P, "src").persist()
-    n_edges = edges.count()
+    edges = edges.persist()
+    with no_aqe(spark, P):
+        n_edges = edges.count()
 
-    base = _vertex_base(
-        edges, vertices, weighted=weight_col is not None
-    ).repartition(P, "id").persist()
-    n = base.count()
+        base = _vertex_base(
+            edges, vertices, weighted=weight_col is not None
+        ).repartition(P, "id").persist()
+        n = base.count()
 
     def _with_teleport(df: DataFrame) -> DataFrame:
         """Attach the teleport weight column _tw (pure function of the

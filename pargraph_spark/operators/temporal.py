@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pargraph_spark.plans.checkpoint import CheckpointManager
+from pargraph_spark.session import size_based_partitions
 from pargraph_spark.plans.debug import dump_plan
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -44,23 +45,30 @@ class ComponentsResult:
     metrics: JobMetrics = field(default_factory=lambda: JobMetrics("components"))
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return (
+    out = (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    # dedup=False (r6, guide §2.3/§2.4): inside the fixpoint the E-scale
+    # distinct here bought only ~13% row reduction at the bench graph
+    # (1.196M -> 1.04M) for a full extra exchange; small-star's min-agg is
+    # duplicate-insensitive and its trailing distinct restores set
+    # semantics, so the round output is IDENTICAL as a set either way.
+    return out.distinct() if dedup else out
 
 
-def _small_star(e: DataFrame) -> DataFrame:
-    # orient every edge (bigger -> smaller)
-    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).where(
-        F.col("u") != F.col("v")
-    )
+def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
+    # orient every edge (bigger -> smaller); large-star output is already
+    # strictly u > v (it emits (v, m) with m <= u < v), so the fixpoint
+    # passes oriented=True and skips the re-orientation projection
+    o = e if oriented else e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
     mins = o.groupBy("u").agg(F.min("v").alias("m"))
     via_neighbors = (
         o.join(mins, "u")
@@ -104,13 +112,7 @@ def connected_components(
     from the newest committed manifest and converges to the identical
     fixpoint (tests/test_checkpoint.py)."""
     P = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
-    all_vertices = (
-        vertices.select("id")
-        if vertices is not None
-        else edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    ).persist()
+    P = size_based_partitions(edges, P)  # guide §2.2, size-derived cap
 
     ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
     start_round = 0
@@ -125,11 +127,21 @@ def connected_components(
             )
             start_round = int(m["superstep"])
     if e is None:
+        # setup in ONE E-scale exchange (r6, the pagerank/scc idiom):
+        # canonicalize the orientation up front (CC is undirected — the
+        # stars symmetrize anyway, so connectivity and every subsequent
+        # round's edge SET are unchanged), repartition on u FIRST, then
+        # dedupe in place — hash(u) co-locates every (u, v) pair, so
+        # dropDuplicates adds no second exchange. The old shape
+        # (distinct, then repartition) exchanged E twice; canonical form
+        # additionally lets the initial convergence signature skip ITS
+        # canonicalizing distinct (a third E-scale exchange).
         e = (
             edges.where(F.col("src") != F.col("dst"))
-            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            .distinct()
+            .select(F.greatest("src", "dst").alias("u"),
+                    F.least("src", "dst").alias("v"))
             .repartition(P, "u")
+            .dropDuplicates(["u", "v"])
             .localCheckpoint(eager=True)
         )
     metrics = JobMetrics("components")
@@ -143,8 +155,9 @@ def connected_components(
         canonicalizing select+distinct is a provable no-op on them —
         skipping it removes one E-scale exchange per round from the
         convergence check and produces the IDENTICAL (count, hash). The
-        initial edge set is NOT canonical ((a,b),(b,a) may both occur)
-        and keeps the full path."""
+        initial edge set is canonicalized at setup (and resume loads
+        star-round outputs, which are canonical), so every signature
+        call takes the cheap path."""
         canon = df.select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
@@ -160,13 +173,20 @@ def connected_components(
 
     converged = False
     rounds = start_round
-    sig = _signature(e)
+    sig = _signature(e, assume_canonical=True)
     n_edges0 = sig[0]
     for rounds in range(start_round + 1, max_rounds + 1):
         t0 = time.monotonic()
-        new_e = _small_star(_large_star(e))
+        # materialize the large-star output once per round (r6, the
+        # triangle_count idiom): small-star references it three times
+        # (min-agg, neighbor probe, via_self) and only identical Exchange
+        # nodes get runtime reuse — unmaterialized, the E-scale large-star
+        # join re-executed under the probe-side exchange every round
+        ls = _large_star(e, dedup=False).localCheckpoint(eager=True)
+        new_e = _small_star(ls, oriented=True)
         dump_plan(new_e, "cc_round")
         new_e = new_e.localCheckpoint(eager=True)
+        ls.unpersist()
         new_sig = _signature(new_e, assume_canonical=True)
         e.unpersist()
         e = new_e
@@ -182,6 +202,27 @@ def connected_components(
         ckpt.save(e, rounds, {"n_edges": sig[0], "checksum": sig[1],
                               "converged": True})
 
+    # vertex set (r6): star rounds PRESERVE the edge set's vertex set —
+    # large-star keeps every endpoint (a local-max u re-emits (v, u); any
+    # other u survives as the v-side of a smaller neighbor's emission) and
+    # small-star emits every u via via_self and every v via via_neighbors
+    # or the (u, m) via_self row — so the final V-scale star forest yields
+    # the full vertex set without re-scanning the E-scale input; only
+    # self-loop-only vertices (absent from e by construction) need the
+    # one cheap filter scan. Replaces an E-scale union+distinct with a
+    # V-scale one (guide §2.3 — aggregate the small proxy, not the
+    # payload). Single-consumer, so no persist either.
+    all_vertices = (
+        vertices.select("id")
+        if vertices is not None
+        else e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .unionByName(
+            edges.where(F.col("src") == F.col("dst")).select(F.col("src").alias("id"))
+        )
+        .distinct()
+    )
+
     # at fixpoint e is (child, parent=component-min); roots + isolated map to self
     parents = e.select(F.col("u").alias("id"), F.col("v").alias("c"))
     if not converged:
@@ -195,7 +236,6 @@ def connected_components(
         .select("id", F.coalesce("c", "id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    all_vertices.unpersist()
     e.unpersist()
     return ComponentsResult(comp, rounds, converged, metrics)
 

@@ -128,8 +128,8 @@ def betweenness(
         cur = srcs.select(
             F.col("id").alias("s"), F.col("id").alias("v"),
             F.lit(1).cast("long").alias("sigma"),
-        ).repartition(P, "v").localCheckpoint(eager=True)
-        n_sources = cur.count()
+        ).repartition(P, "v").localCheckpoint(eager=False)
+        n_sources = cur.count()  # materializes the lazy checkpoint (one job)
         visited = (
             cur.select("s", "v").repartition(P, "s", "v").localCheckpoint(eager=True)
         )
@@ -149,7 +149,9 @@ def betweenness(
                 .repartition(P, "v")
             )
             dump_plan(nxt, "betweenness_forward_level")
-            nxt = nxt.localCheckpoint(eager=True)
+            # lazy (r6): the emptiness count below materializes the level
+            # in the same job — one job per forward level instead of two
+            nxt = nxt.localCheckpoint(eager=False)
             if nxt.count() == 0:
                 dead_frontiers.append(nxt)
                 break
@@ -195,7 +197,13 @@ def betweenness(
                 )
             )
             dump_plan(dd, "betweenness_backward_level")
-            deltas[d] = dd.localCheckpoint(eager=True)
+            # lazy (r6): level d's blocks are computed inside level d-1's
+            # materializing job (the chain stays one level deep — each
+            # lazy checkpoint's input deltas[d+1] is already materialized);
+            # the last one (deltas[1]) is computed by the scores job. All
+            # are materialized before the unpersist sweep at the end
+            # because scores is an EAGER checkpoint downstream of them.
+            deltas[d] = dd.localCheckpoint(eager=False)
 
         if len(levels) > 1:
             all_d = deltas[1]

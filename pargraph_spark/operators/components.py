@@ -123,7 +123,7 @@ def connected_components(
             e = (
                 ckpt.load(spark, int(m["superstep"]))
                 .repartition(P, "u")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # materialized by the initial signature
             )
             start_round = int(m["superstep"])
     if e is None:
@@ -142,7 +142,9 @@ def connected_components(
                     F.least("src", "dst").alias("v"))
             .repartition(P, "u")
             .dropDuplicates(["u", "v"])
-            .localCheckpoint(eager=True)
+            # lazy (r6): the initial signature aggregate below is a full
+            # scan and materializes the blocks in the same job
+            .localCheckpoint(eager=False)
         )
     metrics = JobMetrics("components")
 
@@ -185,9 +187,13 @@ def connected_components(
         ls = _large_star(e, dedup=False).localCheckpoint(eager=True)
         new_e = _small_star(ls, oriented=True)
         dump_plan(new_e, "cc_round")
-        new_e = new_e.localCheckpoint(eager=True)
-        ls.unpersist()
+        # lazy (r6): the signature aggregate below is a full scan — it
+        # materializes the round's blocks in the SAME job (one job per
+        # round for checkpoint+signature instead of two); ls and the
+        # superseded e are released only after that job runs
+        new_e = new_e.localCheckpoint(eager=False)
         new_sig = _signature(new_e, assume_canonical=True)
+        ls.unpersist()
         e.unpersist()
         e = new_e
         metrics.add(SuperstepMetric(rounds, (time.monotonic() - t0) * 1000.0,

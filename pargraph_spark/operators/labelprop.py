@@ -147,7 +147,10 @@ def label_propagation(
                 )
             )
             dump_plan(new_labels, "labelprop_superstep")
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy checkpoint (r6): the changed-count aggregate below is a
+            # full V-scan and materializes the blocks in the same job —
+            # one job per superstep instead of two
+            new_labels = new_labels.localCheckpoint(eager=False)
             changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
             old = labels
             labels = new_labels.drop("_chg")
@@ -253,7 +256,8 @@ def seeded_label_propagation(
                     F.coalesce("_seed", "new_label", "_old").alias("label"),
                     (~F.coalesce("_seed", "new_label", "_old").eqNullSafe(F.col("_old"))).alias("_chg"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy (r6): the changed-count scan materializes in-job
+                .localCheckpoint(eager=False)
             )
             changed = new_labels.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
             old = labels

@@ -323,8 +323,10 @@ def pagerank(
         return (float("nan") if d is None else float(d)), float(row["_dang"])
 
     with no_aqe(spark, P):
-        # initial state materialization under no-AQE records hash(id, P)
-        ranks = ranks.repartition(P, "id").localCheckpoint(eager=True)
+        # initial state materialization under no-AQE records hash(id, P);
+        # lazy checkpoint (r6): the _delta_dang full scan right below
+        # materializes the blocks in the same job
+        ranks = ranks.repartition(P, "id").localCheckpoint(eager=False)
 
         _, dang = _delta_dang(ranks)
 
@@ -374,13 +376,22 @@ def pagerank(
                 )
             )
             dump_plan(new_ranks, "pagerank_superstep")
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # lazy checkpoint (r6): the combined delta/dangling aggregate
+            # below is a full V-scan — it materializes the checkpoint
+            # blocks in the SAME job, so a superstep is ONE job, not two
+            # (partitioning recorded at the localCheckpoint call as
+            # before; the persist-chain variant of one-job supersteps was
+            # tried and reverted — lazy checkpoints keep lineage flat).
+            # The superseded state is released only AFTER the aggregate
+            # runs (its blocks feed the materialization), and wall_ms now
+            # covers the whole fused job so edges/s stays honest.
+            new_ranks = new_ranks.localCheckpoint(eager=False)
             old = ranks
             ranks = new_ranks
-            old.unpersist()
-            wall_ms = (time.monotonic() - t0) * 1000.0
 
             step_delta, dang = _delta_dang(ranks)
+            old.unpersist()
+            wall_ms = (time.monotonic() - t0) * 1000.0
             delta = float("nan")
             if it % check_every == 0 or it >= max_iter:
                 delta = step_delta

@@ -117,7 +117,7 @@ def strongly_connected_components(
             else active_e.select(F.col("src").alias("id")).unionByName(
                 active_e.select(F.col("dst").alias("id"))
             )
-        ).distinct().repartition(P, "id").localCheckpoint(eager=True)
+        ).distinct().repartition(P, "id").localCheckpoint(eager=False)
         assigned: list[DataFrame] = []
         converged = False
         outer = 0
@@ -140,7 +140,11 @@ def strongly_connected_components(
                     .join(has_in.hint("shuffle_hash"), "id", "left_semi")
                 )
                 dump_plan(keep, "scc_trim_round")
-                keep = keep.localCheckpoint(eager=True)
+                # lazy checkpoint (r6): the count below materializes the
+                # blocks in the SAME job — one job per trim round, not two
+                # (partitioning is recorded at the localCheckpoint call,
+                # the full-scan count computes every partition)
+                keep = keep.localCheckpoint(eager=False)
                 n_keep = keep.count()
                 n_trim = n_verts - n_keep
                 if n_trim == 0:
@@ -208,7 +212,8 @@ def strongly_connected_components(
                     )
                 )
                 dump_plan(new_colors, "scc_color_round")
-                new_colors = new_colors.localCheckpoint(eager=True)
+                # lazy: the frontier count materializes state in one job
+                new_colors = new_colors.localCheckpoint(eager=False)
                 frontier = new_colors.where("_chg").select("id", "color")
                 changed = frontier.count()
                 colors = new_colors.drop("_chg")
@@ -261,7 +266,8 @@ def strongly_connected_components(
                     )
                 )
                 dump_plan(new_state, "scc_sweep_round")
-                new_state = new_state.localCheckpoint(eager=True)
+                # lazy: the frontier count materializes state in one job
+                new_state = new_state.localCheckpoint(eager=False)
                 frontier = new_state.where("_chg").select("id", "color")
                 changed = frontier.count()
                 state = new_state.drop("_chg")

@@ -89,7 +89,7 @@ def label_propagation(
         else edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-    ).persist()
+    )  # single consumer (the labels init checkpoint) — no persist (r6)
 
     with no_aqe(spark, P):
         # sym materializes here (first action below): under no-AQE the
@@ -112,7 +112,6 @@ def label_propagation(
                 it = int(m["superstep"])
                 if m.get("converged"):
                     sym.unpersist()
-                    all_vertices.unpersist()
                     return LabelPropResult(labels, it, True, JobMetrics("labelprop"))
         if labels is None:
             # hash(id, P) recorded at the checkpoint (no_aqe): the per-round
@@ -134,6 +133,15 @@ def label_propagation(
                            sym["u"] == labels["id"]).select(
                 sym["v"].alias("id"), F.col("label"), sym["w"]
             )
+            # Two-level vote aggregation, deliberately (r6): a one-exchange
+            # variant (repartition raw votes hash(id, P); both aggs then run
+            # in place since hash(id) satisfies both clustered
+            # distributions) measured 0.72s/iter vs 1.1 locally but ships
+            # UNCOMBINED votes — a hub vertex's whole in-degree lands in
+            # one task, and AQE cannot split skewed aggregations (guide
+            # §2.5). The (id, label) exchange spreads a hot id across
+            # labels and partial map-side aggregation bounds what moves,
+            # which is the shape that survives 100 TB.
             counted = nbr.groupBy("id", "label").agg(F.sum("w").alias("cnt"))
             best = counted.groupBy("id").agg(
                 F.min(F.struct((-F.col("cnt")).alias("negc"), F.col("label").alias("l"))).alias("b")
@@ -169,7 +177,6 @@ def label_propagation(
     if ckpt and converged and (it % checkpoint_every != 0):
         ckpt.save(labels, it, {"changed": 0, "converged": True})
     sym.unpersist()
-    all_vertices.unpersist()
     return LabelPropResult(labels, it, converged, metrics)
 
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy, size_based_partitions
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -82,7 +82,7 @@ def bfs_distances(
             .distinct()
             .join(dist, "id", "left_anti")
             .withColumn("dist", F.lit(h))
-            .transform(ckpt_state, P)
+            .transform(ckpt_state_lazy, P)  # materialized by the count below
         )
         n_new = nxt.count()
         metrics.add(SuperstepMetric(h, (time.monotonic() - t0) * 1000.0, n_adj, float(n_new)))

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -219,7 +219,7 @@ def bitruss(
                 (F.col("sup") - F.coalesce(F.col("_d"), F.lit(0))).alias("sup"),
             )
             .repartition(P, "w")
-            .transform(ckpt_state, P)
+            .transform(ckpt_state_lazy, P)  # materialized by the count below
         )
         n_after = cur.count()
         metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,

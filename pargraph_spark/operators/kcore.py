@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy, size_based_partitions
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -280,14 +280,17 @@ def core_numbers(
                 h_new.join(est.select("id", F.col("c").alias("_old")), "id")
                 .where(F.col("c") != F.col("_old"))
                 .select("id")
-                .transform(ckpt_state, P)
+                # lazy (r6): the count below materializes in the same job;
+                # it must run before the superseded est is released (est is
+                # in new_changed's lineage), hence the reordering
+                .transform(ckpt_state_lazy, P)
             )
+            n_changed = new_changed.count()
             old = est
             est = new_est
             old.unpersist()
             changed = new_changed
             rounds = r
-            n_changed = changed.count()
             metrics.add(SuperstepMetric(r, (time.monotonic() - t0) * 1000.0,
                                         0, float(n_changed)))
             if n_changed == 0:

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy, size_based_partitions
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -113,7 +113,7 @@ def landmark_distances(
             .distinct()
             .join(dist, ["landmark", "id"], "left_anti")
             .withColumn("dist", F.lit(h))
-            .transform(ckpt_state, P)
+            .transform(ckpt_state_lazy, P)  # materialized by the count below
         )
         n_new = nxt.count()
         metrics.add(

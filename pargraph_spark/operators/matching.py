@@ -106,7 +106,8 @@ def maximal_matching(
                 & (F.col("v") == F.col("_vv"))
             )
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            # lazy (r6): the count below materializes in the same job
+            .localCheckpoint(eager=False)
         )
         n_new = new_m.count()
         matched_verts = (

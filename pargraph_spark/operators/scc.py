@@ -287,7 +287,8 @@ def strongly_connected_components(
             verts = (
                 verts.join(members.select("id"), "id", "left_anti")
                 .repartition(P, "id")
-                .localCheckpoint(eager=True)
+                # lazy (r6): the count below materializes in the same job
+                .localCheckpoint(eager=False)
             )
             n_left = verts.count()
             e_dst.unpersist()
@@ -352,7 +353,8 @@ def _closure_from(
             .distinct()
             .join(visited, "id", "left_anti")
             .repartition(P, "id")
-            .localCheckpoint(eager=True)
+            # lazy (r6): the count below materializes in the same job
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             retired.append(nxt)
@@ -554,7 +556,8 @@ def condensation_layers(
                 (F.greatest(F.col("layer"), F.coalesce("_nl", F.lit(0)))
                  != F.col("layer")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r6): the changed aggregate materializes in the same job
+            .localCheckpoint(eager=False)
         )
         changed = new_layers.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
         layers = new_layers.drop("_chg")

@@ -43,7 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy, size_based_partitions
 
 from pargraph_spark.plans.metrics import JobMetrics, SuperstepMetric
 
@@ -124,7 +124,7 @@ def sssp(
                     & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
                 ).alias("_imp"),
             )
-            .transform(ckpt_state, P)
+            .transform(ckpt_state_lazy, P)  # materialized by the count below
         )
         frontier = merged.where(F.col("_imp")).select("id", "dist")
         n_improved = frontier.count()

@@ -258,7 +258,8 @@ def ktruss(
                 "a", "b",
                 (F.col("support") - F.coalesce(F.col("_d"), F.lit(0))).alias("support"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r6): the count below materializes in the same job
+            .localCheckpoint(eager=False)
         )
         kept = cur
         n_after = cur.count()

@@ -46,7 +46,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pargraph_spark.session import ckpt_state, size_based_partitions
+from pargraph_spark.session import ckpt_state, ckpt_state_lazy, size_based_partitions
 
 from .edges import symmetrize
 
@@ -116,7 +116,11 @@ def wl_colors(
     # colors feeds TWO consumers per round (the neighbor-sum join and the
     # rehash join), so un-truncated lineage doubles every round and the
     # driver OOMs just printing the plan by round ~10
-    colors = colors.transform(ckpt_state, P)
+    # with convergence checking on, the distinct-count that follows each
+    # checkpoint is a full scan — lazy fuses materialization into it (r6);
+    # without it no action follows, so the checkpoint must stay eager
+    _ck = ckpt_state_lazy if check_convergence else ckpt_state
+    colors = colors.transform(_ck, P)
     n_colors = colors.select("color").distinct().count() if check_convergence else -1
 
     r, converged = 0, False
@@ -144,7 +148,7 @@ def wl_colors(
                     )
                 ).alias("color"),
             )
-            .transform(ckpt_state, P)
+            .transform(_ck, P)
         )
         colors, r = new, t
         if check_convergence:

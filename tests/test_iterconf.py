@@ -132,3 +132,65 @@ def test_pagerank_superstep_one_exchange(spark):
     top = tree.split("== Final Plan ==")[0]
     n_ex = len(re.findall(r"^\s*(?::|\+)-\s+Exchange \(", top, flags=re.M))
     assert n_ex == 1, top
+
+
+def test_ckpt_state_lazy_records_partitioning_and_caches_on_first_scan(spark):
+    """r6 job fusion: a LAZY checkpoint records its partitioning at the
+    call (co-partitioned joins need no exchange) and a full-scan action
+    materializes the blocks — afterwards the data survives recomputation
+    of its inputs being impossible (lineage truncated to the cached RDD)."""
+    from pargraph_spark.session import ckpt_state_lazy
+
+    P = 4
+    a = (spark.range(200).select(F.col("id"), (F.col("id") * 3).alias("v"))
+         .repartition(P, "id").transform(ckpt_state_lazy, P))
+    assert a.count() == 200  # the materializing full-scan action
+    with no_aqe(spark, P):
+        b = (spark.range(200).select(F.col("id"), (F.col("id") + 7).alias("w"))
+             .repartition(P, "id").transform(ckpt_state, P))
+        j = a.join(b.hint("shuffle_hash"), "id")
+        # both sides recorded hash(id, P): zero shuffle exchanges
+        assert _shuffles(j) == 0, _plan(j)
+        assert j.count() == 200
+    # repeat action reads the cached blocks (localCheckpoint contract);
+    # correctness re-pinned rather than probing storage internals (the
+    # Python-side .rdd wraps a fresh javaToPython RDD, level NONE)
+    assert a.count() == 200
+
+
+def test_cc_round_set_semantics_invariant(spark):
+    """r6 CC round restructuring: dropping large-star's intra-round
+    distinct and skipping small-star's re-orientation on canonical input
+    must not change any round's edge SET (small-star's min-agg is
+    duplicate-insensitive; its trailing distinct restores set semantics)."""
+    from pargraph_spark.operators.components import _large_star, _small_star
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 9), (9, 1), (5, 6), (6, 7), (7, 5),
+             (10, 11), (12, 10), (8, 8), (2, 1), (11, 12), (3, 1)]
+    e = (spark.createDataFrame(edges, "src long, dst long")
+         .where(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("u"),
+                 F.least("src", "dst").alias("v"))
+         .distinct())
+    for _ in range(4):
+        slow = _small_star(_large_star(e, dedup=True))
+        fast = _small_star(_large_star(e, dedup=False), oriented=True)
+        assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
+        e = fast.localCheckpoint(eager=True)
+
+
+def test_cc_vertex_set_preserved_across_rounds(spark):
+    """r6 CC final-join optimization relies on star rounds preserving the
+    vertex set — the final star forest (plus self-loop endpoints) must
+    yield every vertex of the input, including isolated-in-e cases."""
+    from pargraph_spark.operators.components import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 5), (7, 8), (8, 9), (9, 7), (4, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    res = connected_components(spark, edf, num_partitions=4)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    # every endpoint present; self-loop-only vertex 5 maps to itself
+    assert set(got) == {1, 2, 3, 4, 5, 7, 8, 9}
+    assert got[5] == 5
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[7] == got[8] == got[9] == 7
